@@ -1,0 +1,126 @@
+"""Minimal tolerant HTML extraction: hrefs, meta-refresh, forms.
+
+Regex tokenizer standing in for the reference's fast-tagsoup ``parseTags``
+(/root/reference/src/Crawl.hs:120). Extraction semantics mirror:
+
+- href extraction:    /root/reference/src/Parse.hs:47-51 — every attribute
+                      named ``href`` (case-insensitive) on ``<a>`` open tags,
+                      whitespace-trimmed.
+- meta-refresh:       /root/reference/src/Parse.hs:22-38 — first ``<meta>``
+                      with ``http-equiv="refresh"`` BEFORE ``</head>``;
+                      ``content`` attr split on space/semicolon; first token
+                      starting with ``url`` (case-insensitive); value after
+                      ``=`` up to whitespace.
+- form extraction:    /root/reference/src/Forms.hs:22-54 — sections from each
+                      ``<form>`` open tag through its ``</form>``; ``action``
+                      attr (default "") and ``method`` attr (default "GET")
+                      from the form tag; each ``<input>`` tag's attribute
+                      list kept for name/value discovery.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TAG_RE = re.compile(r"<\s*(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>", re.S)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?""", re.S
+)
+
+
+@dataclass
+class Tag:
+    close: bool
+    name: str  # lowercased
+    attrs: list[tuple[str, str]]  # original-case keys, unquoted values
+
+
+def parse_tags(html: str) -> list[Tag]:
+    tags: list[Tag] = []
+    for m in _TAG_RE.finditer(html):
+        close, name, attrblob = m.group(1), m.group(2), m.group(3)
+        attrs: list[tuple[str, str]] = []
+        if not close and attrblob:
+            for am in _ATTR_RE.finditer(attrblob):
+                k = am.group(1)
+                v = am.group(2) or ""
+                if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+                    v = v[1:-1]
+                attrs.append((k, v))
+        tags.append(Tag(bool(close), name.lower(), attrs))
+    return tags
+
+
+def get_raw_hrefs(tags: list[Tag]) -> list[str]:
+    """All ``href`` attribute values (case-insensitive key) on ``<a>`` open
+    tags, trimmed (Parse.hs:47-51)."""
+    out: list[str] = []
+    for t in tags:
+        if not t.close and t.name == "a":
+            for k, v in t.attrs:
+                if k.lower() == "href":
+                    out.append(v.strip())
+    return out
+
+
+def find_meta_refresh(tags: list[Tag]) -> str | None:
+    """Raw (pre-derelativise) meta-refresh target, or None (Parse.hs:22-38)."""
+    for t in tags:
+        if t.close and t.name == "head":
+            break
+        if t.close or t.name != "meta":
+            continue
+        lowered = {(k.lower(), v.lower()) for k, v in t.attrs}
+        if ("http-equiv", "refresh") not in lowered:
+            continue
+        content = ""
+        for k, v in t.attrs:
+            if k.lower() == "content":
+                content = v
+                break
+        for token in re.split(r"[ ;]", content):
+            if token.lower().startswith("url"):
+                _, _, after = token.partition("=")
+                url = after.split()[0] if after.split() else after
+                return url
+        return None
+    return None
+
+
+@dataclass
+class Form:
+    """Parsed form: page anchor is supplied by the caller (Forms.hs:27)."""
+
+    action: str  # raw relative url, default "" (Forms.hs:31-33)
+    method: str  # default "GET" (Forms.hs:36-38)
+    inputs: list[list[tuple[str, str]]]  # one attr list per <input>
+
+
+def get_forms(tags: list[Tag]) -> list[Form]:
+    """Forms per Forms.hs:22-54 (takeWhilePlus1 through ``</form>``)."""
+    forms: list[Form] = []
+    i = 0
+    n = len(tags)
+    while i < n:
+        t = tags[i]
+        if not t.close and t.name == "form":
+            action = ""
+            method = "GET"
+            for k, v in t.attrs:
+                if k.lower() == "action" and action == "":
+                    action = v
+                elif k.lower() == "method" and method == "GET":
+                    method = v
+            inputs: list[list[tuple[str, str]]] = []
+            j = i + 1
+            while j < n and not (tags[j].close and tags[j].name == "form"):
+                tj = tags[j]
+                if not tj.close and tj.name == "input":
+                    inputs.append(list(tj.attrs))
+                j += 1
+            forms.append(Form(action=action, method=method, inputs=inputs))
+            # Reference's ``sections`` restarts at every <form> open tag, so
+            # nested forms each produce a record; advance one tag only.
+        i += 1
+    return forms

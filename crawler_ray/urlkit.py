@@ -1,0 +1,208 @@
+"""URL canonicalization / resolution / domain extraction / include filtering.
+
+Pure Python (no Ray): these are the byte-identity primitives everything else
+in the engine depends on. Semantics re-derived from the reference crawler
+(jahaynes/crawler):
+
+- canonicalise:    /root/reference/src/Urls.hs:33-47 (parse absolute URI,
+                   normalize case/escape/path-segments, strip default ports
+                   per scheme, drop ``#fragment``).
+- derelativise:    /root/reference/src/Urls.hs:72-98 (sanitize: drop
+                   fragments, ``%20``-encode spaces; reject ``mailto:``;
+                   absolute -> canonicalise; relative -> RFC 3986 join with
+                   the base URL then normalize).
+- get_domain:      /root/reference/src/Urls.hs:100-103 (bytes after ``//`` up
+                   to the next ``/``).
+- include filter:  /root/reference/src/Crawl.hs:214-228 (accept iff ANY url
+                   pattern is an infix of the URL OR any domain pattern is an
+                   infix of its domain).
+
+The normalization set (documented canonical semantics for this engine):
+scheme and host lowercased, percent-escape hex uppercased, unreserved
+percent-escapes decoded, dot-segments removed, default ports stripped
+(``:80`` for http, ``:443`` for https), fragments dropped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _normalize_escapes(s: str) -> str:
+    """Uppercase %XX hex; decode escapes of unreserved characters."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    inp = path
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            if inp.startswith("/"):
+                i = inp.find("/", 1)
+            else:
+                i = inp.find("/")
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
+
+
+def _strip_default_port(scheme: str, netloc: str) -> str:
+    """Strip ``:80`` for http and ``:443`` for https (Urls.hs:25-31)."""
+    if scheme == "http" and netloc.endswith(":80"):
+        return netloc[:-3]
+    if scheme == "https" and netloc.endswith(":443"):
+        return netloc[:-4]
+    return netloc
+
+
+def canonicalise(url: str, discard_fragments: bool = True) -> str | None:
+    """Canonicalise an absolute URL string; None if not an absolute URI.
+
+    Mirrors ``canonicaliseString`` (Urls.hs:36-47): fragment discard before
+    parse, absolute-URI requirement, then normalize.
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if discard_fragments:
+        h = url.find("#")
+        if h != -1:
+            url = url[:h]
+    if not url or not _SCHEME_RE.match(url):
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not parts.netloc:
+        # parseAbsoluteURI requires a proper absolute URI; scheme-only or
+        # opaque URIs (mailto:) are not crawlable identities here.
+        return None
+    netloc = _strip_default_port(scheme, parts.netloc.lower())
+    path = _remove_dot_segments(_normalize_escapes(parts.path))
+    query = _normalize_escapes(parts.query)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+_SPACE_RE = re.compile(r" ")
+
+
+def derelativise(on_url: str, raw: str) -> tuple[str, str]:
+    """Resolve a raw href found on ``on_url``.
+
+    Returns ``(kind, value)`` where kind is one of:
+      - ``"url"``      — value is the canonical absolute URL
+      - ``"warning"``  — mailto link (CrawlWarning, Urls.hs:74)
+      - ``"error"``    — unparseable (CrawlError, Urls.hs:76-78, 95-97)
+
+    Mirrors ``derelativise`` (Urls.hs:72-98): sanitize = drop fragment +
+    encode spaces as %20; ``mailto:`` -> warning; absolute -> canonicalise;
+    relative -> RFC 3986 join with base then normalize.
+    """
+    raw = raw.strip()
+    # dropFragments (Urls.hs:87-88)
+    h = raw.find("#")
+    if h != -1:
+        raw = raw[:h]
+    # encodeSpaces (Urls.hs:90-91)
+    raw = _SPACE_RE.sub("%20", raw)
+    if raw.startswith("mailto:"):
+        return ("warning", f"Found an email {raw}")
+    if _SCHEME_RE.match(raw):
+        c = canonicalise(raw)
+        if c is None:
+            return ("error", f"Could not parse URL: {raw}")
+        return ("url", c)
+    base = canonicalise(on_url)
+    if base is None:
+        return ("error", f"Couldn't derelativise left side: {on_url}")
+    try:
+        joined = urljoin(base, raw)
+    except ValueError:
+        return ("error", f"Couldn't derelativise right side: {raw}")
+    c = canonicalise(joined)
+    if c is None:
+        return ("error", f"Couldn't derelativise right side: {raw}")
+    return ("url", c)
+
+
+def get_domain(url: str) -> str | None:
+    """Host part: bytes after ``//`` up to the next ``/`` (Urls.hs:100-103)."""
+    i = url.find("//")
+    if i == -1:
+        return None
+    rest = url[i + 2 :]
+    j = rest.find("/")
+    d = rest if j == -1 else rest[:j]
+    return d or None
+
+
+def url_hash(url: str) -> int:
+    """Stable unsigned-64 hash of the canonical URL (seen-set shard key)."""
+    return int.from_bytes(
+        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+@dataclass(frozen=True)
+class IncludePatterns:
+    """Include filter (Crawl.hs:214-228): URL accepted iff ANY url pattern is
+    an infix of the URL, OR any domain pattern is an infix of its domain.
+    Empty pattern sets accept nothing (reference semantics: ``any`` over an
+    empty list is False)."""
+
+    url_patterns: frozenset[str] = field(default_factory=frozenset)
+    domain_patterns: frozenset[str] = field(default_factory=frozenset)
+
+    def accepts(self, url: str) -> bool:
+        if any(p in url for p in self.url_patterns):
+            return True
+        d = get_domain(url)
+        if d is None:
+            return False
+        return any(p in d for p in self.domain_patterns)
+
+    def accepts_many(self, urls: list[str]) -> list[bool]:
+        return [self.accepts(u) for u in urls]

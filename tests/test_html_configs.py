@@ -1,0 +1,147 @@
+"""Unit tests: HTML extraction (M4-M8), config parsers (S5-S6), form merge
+(M9), direction match (M10) — vectors hand-derived from the cited reference
+code (see module docstrings)."""
+
+import pytest
+
+from crawler_ray.configs import (
+    parse_form_instructions,
+    parse_href_directions,
+    load_patterns_csv,
+)
+from crawler_ray.formlogic import find_direction, select_form_options
+from crawler_ray.html import find_meta_refresh, get_forms, get_raw_hrefs, parse_tags
+
+
+def test_href_extraction_case_insensitive_and_trim():
+    tags = parse_tags(
+        '<A HREF=" /a ">x</A><a class="z" href="/b" href="/c"><p href="/no">'
+    )
+    assert get_raw_hrefs(tags) == ["/a", "/b", "/c"]
+
+
+def test_href_unquoted_and_single_quoted():
+    tags = parse_tags("<a href=/u>u</a><a href='/s'>s</a>")
+    assert get_raw_hrefs(tags) == ["/u", "/s"]
+
+
+def test_meta_refresh_inside_head_only():
+    html = (
+        "<html><head><meta http-equiv='refresh' content='5; URL=/next'></head>"
+        "<body><meta http-equiv='refresh' content='0; url=/ignored'></body>"
+    )
+    assert find_meta_refresh(parse_tags(html)) == "/next"
+    after_head = (
+        "<html><head></head><body>"
+        "<meta http-equiv='refresh' content='0; url=/late'></body>"
+    )
+    assert find_meta_refresh(parse_tags(after_head)) is None
+
+
+def test_meta_refresh_case_insensitive_equiv():
+    html = '<head><META HTTP-EQUIV="Refresh" CONTENT="0;url=http://y.test/"></head>'
+    assert find_meta_refresh(parse_tags(html)) == "http://y.test/"
+
+
+def test_meta_refresh_absent():
+    assert find_meta_refresh(parse_tags("<head><meta charset='utf8'></head>")) is None
+
+
+def test_get_forms_defaults_and_inputs():
+    html = (
+        "<form><input name='a' value='1'></form>"
+        "<form action='/go' method='post'>"
+        "<input name='user'><input value='orphan'><input name='pw' value=''>"
+        "</form>"
+    )
+    forms = get_forms(parse_tags(html))
+    assert len(forms) == 2
+    assert forms[0].action == "" and forms[0].method == "GET"
+    assert forms[1].action == "/go" and forms[1].method == "post"
+    assert len(forms[1].inputs) == 3
+
+
+def test_parse_form_instructions_reference_fixture():
+    # format per /root/reference/eg/form_instructions.cfg:1-10
+    text = (
+        "Label=login\n"
+        "UrlRegex=http://127.0.0.1:3000/login/\n"
+        "FormActionRegex=http://127.0.0.1:3000/submitLogin\n"
+        "username=admin\n"
+        "password=admin%20x\n"
+        "\n"
+        "Label=confirm\n"
+        "UrlRegex=http://127.0.0.1:3000/confirm/\n"
+        "FormActionRegex=http://127.0.0.1:3000/submitConfirm\n"
+        "accept=true\n"
+    )
+    ins = parse_form_instructions(text)
+    assert set(ins) == {"login", "confirm"}
+    assert ins["login"].params == (("username", "admin"), ("password", "admin x"))
+
+
+def test_parse_form_instructions_missing_required_dropped():
+    text = "Label=x\nUrlRegex=y\nsomekey=v\n"
+    assert parse_form_instructions(text) == {}
+
+
+def test_parse_href_directions():
+    text = (
+        "HrefDirection=sample1\n"
+        "UrlRegex=127.0.0.1:3000\n"
+        'HrefRegex=<a href="(0)">\n'
+    )
+    [d] = parse_href_directions(text)
+    assert d.label == "sample1"
+    assert d.href_regex == '<a href="(0)">'
+
+
+def test_parse_href_directions_malformed_raises():
+    # eg/direction_instructions.cfg:5 has the 'refDirection' typo; the
+    # reference's attoparsec parser fails on it (Directions.hs:50)
+    with pytest.raises(ValueError):
+        parse_href_directions("refDirection=bad\nUrlRegex=x\nHrefRegex=(y)\n")
+
+
+def test_select_form_options_merge_and_override_error():
+    ins = parse_form_instructions(
+        "Label=login\nUrlRegex=login\nFormActionRegex=submit\nuser=admin\n"
+    )
+    forms = get_forms(
+        parse_tags("<form action='/submit' method='post'><input name='user' value='guest'>"
+                   "<input name='token' value='t1'></form>")
+    )
+    fr = select_form_options(ins, "http://x.test/login/", forms)
+    assert fr is not None
+    assert fr.target_url == "http://x.test/submit"
+    assert fr.method == "post"
+    assert dict(fr.params) == {"user": "admin", "token": "t1"}
+
+    # Forms.hs:83-90: overriding a non-discovered key errors
+    bad = parse_form_instructions(
+        "Label=login\nUrlRegex=login\nFormActionRegex=submit\nmissing=v\n"
+    )
+    with pytest.raises(ValueError, match="non-existing key"):
+        select_form_options(bad, "http://x.test/login/", forms)
+
+
+def test_select_form_options_no_match():
+    ins = parse_form_instructions(
+        "Label=login\nUrlRegex=elsewhere\nFormActionRegex=submit\n"
+    )
+    forms = get_forms(parse_tags("<form action='/submit'></form>"))
+    assert select_form_options(ins, "http://x.test/login/", forms) is None
+
+
+def test_find_direction_first_capture_group():
+    dirs = parse_href_directions(
+        "HrefDirection=next\nUrlRegex=x\\.test\nHrefRegex=<a href=\"(/page/[0-9]+)\" rel=next>\n"
+    )
+    body = '<a href="/page/7" rel=next>'
+    assert find_direction(dirs, "http://x.test/p", body) == "http://x.test/page/7"
+    assert find_direction(dirs, "http://other.test/p", body) is None
+    assert find_direction(dirs, "http://x.test/p", "<a href='/nope'>") is None
+
+
+def test_load_patterns_csv():
+    assert load_patterns_csv("a, b,,c") == frozenset({"a", "b", "c"})

@@ -1,0 +1,102 @@
+"""Unit vectors for urlkit per FIXTURES.md F6 / reference Urls.hs."""
+
+from crawler_ray.urlkit import (
+    IncludePatterns,
+    canonicalise,
+    derelativise,
+    get_domain,
+    url_hash,
+)
+
+
+def test_canonicalise_port_strip():
+    # Urls.hs:25-31: :80 stripped for http, :443 for https, others kept
+    assert canonicalise("http://example.com:80/a") == "http://example.com/a"
+    assert canonicalise("https://example.com:443/a") == "https://example.com/a"
+    assert canonicalise("http://example.com:443/a") == "http://example.com:443/a"
+    assert canonicalise("https://example.com:80/a") == "https://example.com:80/a"
+    assert canonicalise("http://example.com:8080/a") == "http://example.com:8080/a"
+
+
+def test_canonicalise_case_normalize():
+    assert canonicalise("HTTP://EXAMPLE.com/Path") == "http://example.com/Path"
+
+
+def test_canonicalise_escape_normalize():
+    # unreserved escapes decoded, reserved escapes uppercased
+    assert canonicalise("http://x.test/%7e%41b") == "http://x.test/~Ab"
+    assert canonicalise("http://x.test/a%2fb") == "http://x.test/a%2Fb"
+
+
+def test_canonicalise_path_segments():
+    assert canonicalise("http://x.test/a/b/../c/./d") == "http://x.test/a/c/d"
+    assert canonicalise("http://x.test/../a") == "http://x.test/a"
+
+
+def test_canonicalise_fragment_drop():
+    # Urls.hs:45-47 (discardFragments=True, Settings.hs:24-25)
+    assert canonicalise("http://x.test/a#frag") == "http://x.test/a"
+    assert canonicalise("http://x.test/a?q=1#frag") == "http://x.test/a?q=1"
+
+
+def test_canonicalise_rejects_non_absolute():
+    assert canonicalise("/relative/only") is None
+    assert canonicalise("") is None
+    assert canonicalise("mailto:foo@bar.test") is None
+    assert canonicalise("nonsense") is None
+
+
+def test_derelativise_absolute():
+    kind, v = derelativise("http://x.test/a", "HTTP://Y.test/b#z")
+    assert (kind, v) == ("url", "http://y.test/b")
+
+
+def test_derelativise_mailto_warning():
+    # Urls.hs:74
+    kind, v = derelativise("http://x.test/a", "mailto:foo@bar.test")
+    assert kind == "warning"
+    assert "Found an email" in v
+
+
+def test_derelativise_relative_join():
+    assert derelativise("http://x.test/dir/page", "../up") == ("url", "http://x.test/up")
+    assert derelativise("http://x.test/dir/page", "sib") == ("url", "http://x.test/dir/sib")
+    assert derelativise("http://x.test/dir/page", "/root") == ("url", "http://x.test/root")
+
+
+def test_derelativise_space_encoding():
+    # Urls.hs:90-91
+    kind, v = derelativise("http://x.test/a/", "some page.html")
+    assert (kind, v) == ("url", "http://x.test/a/some%20page.html")
+
+
+def test_derelativise_fragment_only():
+    # fragment dropped -> empty relative -> resolves to the base itself
+    kind, v = derelativise("http://x.test/a", "#top")
+    assert (kind, v) == ("url", "http://x.test/a")
+
+
+def test_get_domain():
+    # Urls.hs:100-103
+    assert get_domain("http://example.com/a/b") == "example.com"
+    assert get_domain("http://example.com") == "example.com"
+    assert get_domain("http://example.com:8080/a") == "example.com:8080"
+    assert get_domain("no-scheme-here") is None
+
+
+def test_url_hash_stable():
+    assert url_hash("http://x.test/a") == url_hash("http://x.test/a")
+    assert url_hash("http://x.test/a") != url_hash("http://x.test/b")
+    assert 0 <= url_hash("http://x.test/a") < 2**64
+
+
+def test_include_patterns():
+    # Crawl.hs:214-228: infix OR-semantics over both sets; empty sets reject
+    empty = IncludePatterns()
+    assert not empty.accepts("http://x.test/a")
+    p = IncludePatterns(url_patterns=frozenset(["/allowed/"]))
+    assert p.accepts("http://x.test/allowed/a")
+    assert not p.accepts("http://x.test/other")
+    d = IncludePatterns(domain_patterns=frozenset(["x.test"]))
+    assert d.accepts("http://sub.x.test/anything")
+    assert not d.accepts("http://y.test/x.test")  # domain only, not path
