@@ -1,0 +1,227 @@
+"""Per-URL fetch + processResult chain: the reference's worker-loop core.
+
+Reimplements the semantics of /root/reference/src/Crawl.hs:92-185 and
+Fetch.hs:29-70 as a pure, deterministic function over the synthetic web
+(webgen.WebSpec standing in for HTTP). This module is shared by BOTH the
+single-threaded oracle (oracle.py) and the distributed Ray fetch stage
+(stages/fetch.py), so crawl-order/seen-set parity between them holds by
+construction — each side only supplies scheduling.
+
+Precedence per processResult (Crawl.hs:117-153):
+  1. href direction match on the landed body  -> GET it, recurse
+  2. meta-refresh (resolved against the ORIGINALLY REQUESTED url — the
+     reference passes ``nextUrl`` not ``head redirects``, Crawl.hs:132) ->
+     if target not already done (trap guard, Crawl.hs:138-140) GET it, recurse
+  3. applicable form instruction                -> submit it, recurse
+  4. store: include-check the LANDED url (Crawl.hs:157), mark the innermost
+     fetch's redirect chain completed, emit hrefs (Crawl.hs:156-162)
+
+Faithfully-kept reference quirks (documented, matched by the oracle):
+- Only the INNERMOST fetch's chain is marked completed
+  (Crawl.hs:169-174 closes over the innermost ``redirects``); the original
+  frontier URL is merely removed from in-progress when a sub-fetch chain
+  (direction/meta/form) occurred, so it can be legally re-enqueued later.
+- A meta-refresh whose target is already done stores NOTHING and leaves the
+  frontier URL in-progress forever (Crawl.hs:138-143 ``when`` with no else).
+- Stored redirect_chain order is the reference's: landed-first,
+  originally-requested-last (Fetch.hs:42 builds [landed..requested]); WARC
+  record-id/target-uri = last element (WarcDocument.hs:27-29).
+
+Deviations required for a sane distributed engine (SURVEY.md §4):
+- fetch errors (404 / too-many-redirects / robots-disallowed / hop-cap) mark
+  the URL ``failed`` instead of killing a worker thread; the reference's
+  ``urlsFailed`` map exists but is never written (Types.hs:36).
+- robots.txt gating (absent in the reference, required by the north rule):
+  requested URLs and sub-fetch targets are checked against per-host rules.
+- sub-fetch recursion depth capped (``max_hops``) — the reference can
+  recurse unboundedly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from .configs import FormInstruction, HrefDirection
+from .formlogic import find_direction, select_form_options
+from .html import find_meta_refresh, get_forms, get_raw_hrefs, parse_tags
+from .urlkit import IncludePatterns, derelativise, get_domain
+from .webgen import WebSpec
+
+MAX_REDIRECTS = 20  # Settings.hs:17-18
+MAX_CONTENT_LENGTH = 20 * 1024 * 1024  # Settings.hs:20-21
+MAX_HOPS = 8  # engine cap on direction/meta/form recursion (see module doc)
+
+
+@dataclass(frozen=True)
+class FetchPolicy:
+    include: IncludePatterns
+    form_instructions: dict[str, FormInstruction] = field(default_factory=dict)
+    directions: tuple[HrefDirection, ...] = ()
+    robots_enabled: bool = True
+    max_redirects: int = MAX_REDIRECTS
+    max_hops: int = MAX_HOPS
+    max_content_length: int = MAX_CONTENT_LENGTH
+
+
+@dataclass
+class FetchResult:
+    """One simulated HTTP GET/POST with redirect following (Fetch.hs:29-70)."""
+
+    ok: bool
+    chain: list[str]  # reference order: landed-first, requested-last
+    body: str
+    page_id: int | None
+    error: str = ""
+
+
+@dataclass
+class ProcessOutcome:
+    url: str
+    # 'stored' | 'excluded' | 'failed' | 'meta_trap'
+    status: str
+    reason: str = ""
+    redirect_chain: list[str] = field(default_factory=list)  # of innermost fetch
+    completed: list[str] = field(default_factory=list)  # urls to mark completed
+    body: str = ""
+    page_id: int | None = None  # landed page (payload row)
+    links: list[str] = field(default_factory=list)  # canonical, discovery order
+    logs: list[tuple[str, str, str]] = field(default_factory=list)  # kind,url,detail
+    hops: int = 0  # sub-fetch chain length (direction/meta/form)
+
+
+def robots_allowed(spec: WebSpec, policy: FetchPolicy, url: str) -> bool:
+    if not policy.robots_enabled:
+        return True
+    domain = get_domain(url)
+    if domain is None or not domain.startswith("host") or not domain.endswith(".test"):
+        return True
+    try:
+        h = int(domain[4:-5])
+    except ValueError:
+        return True
+    path = url.split(".test", 1)[1] if ".test" in url else "/"
+    return not any(path.startswith(p) for p in spec.robots_disallow(h))
+
+
+def simulate_fetch(spec: WebSpec, policy: FetchPolicy, url: str) -> FetchResult:
+    """GET ``url`` against the synthetic web, following its redirect chain."""
+    kind, page_id = spec.resolve(url)
+    if kind == "notfound":
+        return FetchResult(False, [url], "", None, "HTTP 404")
+    if kind == "submit":
+        body = spec.render_page(page_id, spec.caption_of(page_id))
+        return FetchResult(True, [url], body, page_id)
+    # kind == "page"
+    if spec.kind_of(page_id) == "redirect":
+        visit_chain, target = spec.redirect_chain(page_id)
+        if len(visit_chain) - 1 > policy.max_redirects:
+            return FetchResult(False, [url], "", None, "Too many redirects")
+        body = spec.render_page(target, spec.caption_of(target))
+        # reference order: landed first, requested last (Fetch.hs:42)
+        return FetchResult(True, list(reversed(visit_chain)), body, target)
+    body = spec.render_page(page_id, spec.caption_of(page_id))
+    if len(body) > policy.max_content_length:  # Fetch.hs:37 truncation
+        body = body[: policy.max_content_length]
+    return FetchResult(True, [url], body, page_id)
+
+
+def process_url(
+    spec: WebSpec,
+    policy: FetchPolicy,
+    url: str,
+    is_done: Callable[[str], bool],
+) -> ProcessOutcome:
+    """The full worker iteration for one frontier URL (Crawl.hs:104-162).
+
+    ``is_done`` answers the meta-refresh trap guard's checkNotDone
+    (Crawl.hs:138; any of completed/in-progress/failed -> True).
+    """
+    out = ProcessOutcome(url=url, status="failed")
+
+    if not robots_allowed(spec, policy, url):
+        out.reason = "robots_disallowed"
+        return out
+
+    fr = simulate_fetch(spec, policy, url)
+    hops = 0
+    while True:
+        if not fr.ok:
+            out.status = "failed"
+            out.reason = fr.error
+            return out
+        landed = fr.chain[0]
+        tags = parse_tags(fr.body)
+
+        # 1. href direction (Crawl.hs:123-129)
+        direction = find_direction(list(policy.directions), landed, fr.body)
+        next_request: str | None = None
+        if direction is not None:
+            next_request = direction
+        else:
+            # 2. meta refresh, resolved against the original request url
+            #    (Crawl.hs:132 passes nextUrl)
+            raw_meta = find_meta_refresh(tags)
+            meta_url = None
+            if raw_meta is not None:
+                k, v = derelativise(url, raw_meta)
+                if k == "url":
+                    meta_url = v
+            if meta_url is not None:
+                if is_done(meta_url):
+                    # trap guard fired: nothing stored, URL stays in-progress
+                    # (Crawl.hs:138-143)
+                    out.status = "meta_trap"
+                    out.reason = "meta refresh target already done"
+                    out.hops = hops
+                    return out
+                next_request = meta_url
+            else:
+                # 3. form instruction (Crawl.hs:147-152)
+                try:
+                    form_req = select_form_options(
+                        policy.form_instructions, landed, get_forms(tags)
+                    )
+                except ValueError as e:
+                    out.status = "failed"
+                    out.reason = str(e)
+                    return out
+                if form_req is not None:
+                    next_request = form_req.target_url
+
+        if next_request is not None:
+            hops += 1
+            if hops > policy.max_hops:
+                out.status = "failed"
+                out.reason = "too many sub-fetch hops"
+                out.hops = hops
+                return out
+            if not robots_allowed(spec, policy, next_request):
+                out.status = "failed"
+                out.reason = "robots_disallowed (sub-fetch)"
+                out.hops = hops
+                return out
+            # recurse: attribution stays with the original ``url``; the meta
+            # resolution base stays the *original* nextUrl at every level
+            # (Crawl.hs:132)
+            fr = simulate_fetch(spec, policy, next_request)
+            continue
+
+        # 4. store (Crawl.hs:153,156-162)
+        out.hops = hops
+        out.redirect_chain = list(fr.chain)
+        out.body = fr.body
+        out.page_id = fr.page_id
+        if not policy.include.accepts(landed):
+            out.status = "excluded"
+            out.reason = "landed url not in include patterns"
+            return out
+        out.status = "stored"
+        out.completed = list(fr.chain)  # innermost chain only (Crawl.hs:174)
+        for raw in get_raw_hrefs(tags):
+            k, v = derelativise(landed, raw)
+            if k == "url":
+                out.links.append(v)
+            else:
+                out.logs.append((k, landed, v))
+        return out

@@ -1,0 +1,110 @@
+"""CorpusStore: indexed ``take`` over the image+caption table.
+
+The north rule stores the corpus in Lance and fetch actors do key lookups
+(``lance.take``) rather than scans (SURVEY.md §2.5 J4). This container has no
+``lance`` wheel, so the same access pattern is implemented over a parquet
+file SORTED by ``image_id`` with small row groups: a take = binary-search the
+row-group [min,max] key ranges, read only the covering row groups, then
+reorder. Behind the same interface, ``LanceCorpusStore`` activates when
+``import lance`` succeeds.
+
+This is per-actor state: construct once in an actor's ``__init__``
+(reference analogue: the shared HTTP ``Manager``, /root/reference/src/
+Crawl.hs:42-44), never per batch.
+"""
+
+from __future__ import annotations
+
+import bisect
+from collections import OrderedDict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - not installed in this sandbox
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+class ParquetCorpusStore:
+    """Row-group-pruned key lookup over a sorted parquet file."""
+
+    def __init__(self, path: str, columns: list[str] | None = None, cache_row_groups: int = 64):
+        self._pf = pq.ParquetFile(path)
+        self._columns = columns
+        md = self._pf.metadata
+        key_idx = md.schema.to_arrow_schema().get_field_index("image_id")
+        self._mins: list[str] = []
+        self._maxs: list[str] = []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(key_idx).statistics
+            self._mins.append(stats.min)
+            self._maxs.append(stats.max)
+        self._cache: OrderedDict[int, dict[str, int]] = OrderedDict()
+        self._cache_tables: OrderedDict[int, pa.Table] = OrderedDict()
+        self._cache_cap = cache_row_groups
+
+    def _row_group_for(self, key: str) -> int | None:
+        i = bisect.bisect_right(self._mins, key) - 1
+        if i < 0 or key > self._maxs[i]:
+            return None
+        return i
+
+    def _load_group(self, rg: int) -> tuple[pa.Table, dict[str, int]]:
+        if rg in self._cache_tables:
+            self._cache_tables.move_to_end(rg)
+            return self._cache_tables[rg], self._cache[rg]
+        t = self._pf.read_row_group(rg, columns=self._columns)
+        index = {k: j for j, k in enumerate(t["image_id"].to_pylist())}
+        self._cache_tables[rg] = t
+        self._cache[rg] = index
+        if len(self._cache_tables) > self._cache_cap:
+            old, _ = self._cache_tables.popitem(last=False)
+            self._cache.pop(old, None)
+        return t, index
+
+    def take(self, image_ids: list[str]) -> pa.Table:
+        """Rows for the given ids, in request order; missing ids raise KeyError."""
+        # group requests by row group so each group is read once
+        per_group: dict[int, list[tuple[int, str]]] = {}
+        for pos, key in enumerate(image_ids):
+            rg = self._row_group_for(key)
+            if rg is None:
+                raise KeyError(key)
+            per_group.setdefault(rg, []).append((pos, key))
+        out_indices: list[tuple[int, pa.Table, int]] = []
+        pieces: list[pa.Table | None] = [None] * len(image_ids)
+        for rg, wants in per_group.items():
+            t, index = self._load_group(rg)
+            rows = []
+            for pos, key in wants:
+                if key not in index:
+                    raise KeyError(key)
+                rows.append(index[key])
+            sub = t.take(pa.array(rows, type=pa.int64()))
+            for k, (pos, _) in enumerate(wants):
+                pieces[pos] = sub.slice(k, 1)
+        return pa.concat_tables([p for p in pieces if p is not None])
+
+
+class LanceCorpusStore:  # pragma: no cover - requires lance wheel
+    def __init__(self, path: str, columns: list[str] | None = None):
+        self._ds = lance.dataset(path)
+        self._columns = columns
+        # Build image_id -> row index once per actor (or rely on a scalar
+        # index in real deployments: `lance` BTREE index on image_id).
+        tbl = self._ds.to_table(columns=["image_id"])
+        self._index = {k: i for i, k in enumerate(tbl["image_id"].to_pylist())}
+
+    def take(self, image_ids: list[str]) -> pa.Table:
+        rows = [self._index[k] for k in image_ids]
+        return self._ds.take(rows, columns=self._columns)
+
+
+def open_corpus(path: str, columns: list[str] | None = None):
+    if HAVE_LANCE and not path.endswith(".parquet"):
+        return LanceCorpusStore(path, columns)
+    return ParquetCorpusStore(path, columns)

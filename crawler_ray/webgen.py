@@ -1,0 +1,268 @@
+"""Deterministic synthetic web + image/caption corpus (seed-driven, no I/O RNG).
+
+Per FIXTURES.md F1/F2: the "web" is a pure function of ``(n_pages, n_hosts,
+seed)``. Every page has a URL, a host (Zipf-ish skewed assignment to exercise
+politeness + skew handling), a kind (plain / redirect / meta_refresh / form /
+direction), outlinks (rendered in messy styles to exercise canonicalization,
+/root/reference/src/Urls.hs:15-98), and a corpus row (image bytes + caption,
+BASELINE.json ``input_hint`` schema). "Fetching" a URL = resolving it against
+this function — the sandbox stand-in for the reference's HTTP fetch
+(/root/reference/src/Fetch.hs:29-70).
+
+Scale note: pages are never materialized as a table — fetch actors recompute
+``render_page`` on demand; only the corpus (payload bytes) is stored, sorted
+by image_id for index-style lookup (lance-take equivalent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codecs import encode_image, perceptual_hash
+
+_VOCAB = (
+    "amber basalt cedar delta ember fjord garnet harbor iris juniper kelp "
+    "lumen meadow nectar onyx prism quartz raven slate tundra umber vellum "
+    "willow xenon yarrow zephyr"
+).split()
+
+_FMTS = ("png", "jpeg", "bmp")
+_DIMS = (16, 32, 48, 64)
+
+
+def _h(*parts) -> int:
+    """Stable 64-bit hash of the argument tuple."""
+    key = ":".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")
+
+
+@dataclass(frozen=True)
+class WebSpec:
+    n_pages: int
+    n_hosts: int
+    seed: int = 42
+
+    # ---- structure ----------------------------------------------------
+    def host_of(self, i: int) -> int:
+        u = (_h(self.seed, "host", i) % (1 << 20)) / (1 << 20)
+        return min(self.n_hosts - 1, int(self.n_hosts * u * u))  # quadratic skew
+
+    def is_private(self, i: int) -> bool:
+        return _h(self.seed, "priv", i) % 100 < 5
+
+    def kind_of(self, i: int) -> str:
+        r = _h(self.seed, "kind", i) % 100
+        if r < 72:
+            return "plain"
+        if r < 82:
+            return "redirect"
+        if r < 89:
+            return "meta_refresh"
+        if r < 94:
+            return "form"
+        return "direction"
+
+    def url_of(self, i: int) -> str:
+        pfx = "private/" if self.is_private(i) else ""
+        return f"http://host{self.host_of(i)}.test/{pfx}page/{i}"
+
+    def outlink_targets(self, i: int) -> list[int]:
+        n_out = 2 + _h(self.seed, "nout", i) % 5
+        return [_h(self.seed, "out", i, j) % self.n_pages for j in range(n_out)]
+
+    def redirect_chain(self, i: int) -> tuple[list[str], int]:
+        """(chain urls in VISIT order: requested, hops..., landed), landed page.
+
+        The reference accumulates its chain newest-first (Fetch.hs:46-69) and
+        ``visited = nub (redirects ++ [requested])``; we store visit order and
+        note WARC record-id/target = the LANDED url = last of visit order
+        (equals head of the reference's internal order, WarcDocument.hs:27-29
+        takes ``last redirectChain`` of visited = requested... see warc.py).
+        """
+        n_hops = 1 + _h(self.seed, "nhops", i) % 2
+        target = _h(self.seed, "rt", i) % self.n_pages
+        chain = [self.url_of(i)]
+        chain += [
+            f"http://host{self.host_of(i)}.test/hop/{i}/{k}" for k in range(n_hops)
+        ]
+        chain.append(self.url_of(target))
+        return chain, target
+
+    def meta_target(self, i: int) -> int:
+        return _h(self.seed, "meta", i) % self.n_pages
+
+    def direction_target(self, i: int) -> int:
+        # direction target constrained to same host so the relative href resolves
+        return self.outlink_targets(i)[0]
+
+    def robots_disallow(self, host_idx: int) -> list[str]:
+        """Path prefixes disallowed for this host (empty = allow all)."""
+        return ["/private/"] if host_idx % 7 == 3 else []
+
+    # ---- rendering ----------------------------------------------------
+    def _style_link(self, i: int, j: int, target: int) -> str:
+        """Render outlink j of page i in one of several messy styles; all
+        canonicalise back to url_of(target) (or resolve relative)."""
+        url = self.url_of(target)
+        style = _h(self.seed, "style", i, j) % 6
+        if style == 1:
+            return url.replace("http://", "HTTP://", 1)
+        if style == 2:
+            return url.replace(".test/", ".test:80/", 1)
+        if style == 3:
+            return url + "#section-" + str(j)
+        if style == 4 and self.host_of(target) == self.host_of(i):
+            # root-relative path; resolves against this page's host
+            pfx = "/private/" if self.is_private(target) else "/"
+            return f"{pfx}page/{target}"
+        if style == 5:
+            return url.replace("/page/", "/./page/", 1)
+        return url
+
+    def render_page(self, i: int, caption: str) -> str:
+        kind = self.kind_of(i)
+        head = "<head>"
+        if kind == "meta_refresh":
+            t = self.meta_target(i)
+            head += (
+                f'<meta http-equiv="refresh" content="0; url={self.url_of(t)}">'
+            )
+        head += "</head>"
+        body = [f"<p>{caption}</p>", f'<img src="/img/{i}">']
+        for j, t in enumerate(self.outlink_targets(i)):
+            body.append(f'<a href="{self._style_link(i, j, t)}">link{j}</a>')
+        if _h(self.seed, "mailto", i) % 10 == 0:
+            body.append('<a href="mailto:noreply@example.test">mail</a>')
+        if _h(self.seed, "badhref", i) % 17 == 0:
+            body.append('<a href="http://">broken</a>')
+        if kind == "form":
+            body.append(
+                '<form action="/submitLogin" method="post">'
+                '<input name="username" value="">'
+                '<input name="password" value="">'
+                '<input name="csrf" value="tok"></form>'
+            )
+        if kind == "direction":
+            d = self.direction_target(i)
+            body.append(f'<span data-next="{self.url_of(d)}">next</span>')
+        return f"<html>{head}<body>{''.join(body)}</body></html>"
+
+    # ---- URL resolution (the inverse of url_of; the 'DNS + HTTP server')
+    def resolve(self, url: str) -> tuple[str, int | None]:
+        """Resolve a canonical URL to ('page', page_id) | ('submit', page_id)
+        | ('notfound', None)."""
+        if not url.startswith("http://host"):
+            return ("notfound", None)
+        rest = url[len("http://host") :]
+        dot = rest.find(".test/")
+        if dot == -1:
+            return ("notfound", None)
+        try:
+            h = int(rest[:dot])
+        except ValueError:
+            return ("notfound", None)
+        path = rest[dot + len(".test") :]
+        if path == "/submitLogin":
+            return ("submit", _h(self.seed, "submit", h) % self.n_pages)
+        private = False
+        if path.startswith("/private/"):
+            private = True
+            path = path[len("/private") :]
+        if path.startswith("/page/"):
+            try:
+                i = int(path[len("/page/") :])
+            except ValueError:
+                return ("notfound", None)
+            if (
+                0 <= i < self.n_pages
+                and self.host_of(i) == h
+                and self.is_private(i) == private
+            ):
+                return ("page", i)
+        return ("notfound", None)
+
+    # ---- corpus -------------------------------------------------------
+    def image_id(self, i: int) -> str:
+        return f"img{i:08d}"
+
+    def caption_of(self, i: int) -> str:
+        words = [
+            _VOCAB[_h(self.seed, "cap", i, k) % len(_VOCAB)] for k in range(4)
+        ]
+        return f"caption for img{i:08d} " + " ".join(words)
+
+    def pixels_of(self, i: int) -> np.ndarray:
+        rng = np.random.Generator(np.random.PCG64(self.seed * 1_000_003 + i))
+        d = _h(self.seed, "dim", i)
+        w, h = _DIMS[d % 4], _DIMS[(d >> 8) % 4]
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def fmt_of(self, i: int) -> str:
+        return _FMTS[_h(self.seed, "fmt", i) % 3]
+
+    def corpus_row(self, i: int) -> dict:
+        px = self.pixels_of(i)
+        fmt = self.fmt_of(i)
+        return {
+            "image_id": self.image_id(i),
+            "bytes": encode_image(px, fmt),
+            "w": px.shape[1],
+            "h": px.shape[0],
+            "fmt": fmt,
+            "caption": self.caption_of(i),
+            "phash": perceptual_hash(px),
+        }
+
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def build_corpus_table(spec: WebSpec, lo: int = 0, hi: int | None = None) -> pa.Table:
+    hi = spec.n_pages if hi is None else hi
+    rows = [spec.corpus_row(i) for i in range(lo, hi)]
+    cols = {name: [r[name] for r in rows] for name in CORPUS_SCHEMA.names}
+    return pa.Table.from_pydict(cols, schema=CORPUS_SCHEMA)
+
+
+def ensure_web(
+    n_pages: int,
+    n_hosts: int,
+    seed: int = 42,
+    cache_dir: str = "/tmp/crawler_ray_cache",
+) -> tuple[WebSpec, str]:
+    """Build (or reuse cached) corpus parquet sorted by image_id.
+
+    Sorted + small row groups so CorpusStore can do index-style row-group
+    pruned ``take`` (the parquet stand-in for lance take).
+    """
+    spec = WebSpec(n_pages=n_pages, n_hosts=n_hosts, seed=seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"corpus_{n_pages}_{n_hosts}_{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        writer = pq.ParquetWriter(tmp, CORPUS_SCHEMA)
+        step = 4096
+        for lo in range(0, n_pages, step):
+            writer.write_table(
+                build_corpus_table(spec, lo, min(n_pages, lo + step)),
+                row_group_size=1024,
+            )
+        writer.close()
+        os.replace(tmp, path)  # atomic: concurrent builders converge
+    return spec, path
