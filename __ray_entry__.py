@@ -1,44 +1,134 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (a full BFS crawl of the synthetic
+image+caption web, the reference crawler's workload) on an sf0.001-scaled
+web and returns the crawled-documents Dataset. ``queries()`` exposes every
+implemented operator (SURVEY.md §2 + the training-data extensions);
+``oracle_sql()`` gives the DuckDB-equivalent SQL where expressible (crawl /
+LSH / multimodal ops are rows-only by nature).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_CACHE = "/tmp/crawler_ray_cache"
+
+
+def _crawl_params(sf_dir: str) -> tuple[int, int]:
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = max(400, min(n_docs * 2, 60_000))
+    n_hosts = max(10, n_pages // 25)
+    return n_pages, n_hosts
+
+
+def _ensure_crawl_run(sf_dir: str) -> tuple[str, Any]:
+    """Run (or reuse) the cached crawl for this sf tier; returns
+    (run_dir, spec)."""
+    from crawler_ray.fetchsim import FetchPolicy
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.urlkit import IncludePatterns
+    from crawler_ray.webgen import ensure_web
+
+    n_pages, n_hosts = _crawl_params(sf_dir)
+    spec, corpus_path = ensure_web(n_pages, n_hosts, seed=42)
+    run_dir = os.path.join(_CACHE, f"crawlrun_{n_pages}_{n_hosts}")
+    if not os.path.exists(os.path.join(run_dir, "RUN_MANIFEST.json")):
+        cfg = CrawlConfig(
+            spec=spec,
+            corpus_path=corpus_path,
+            seeds=[spec.url_of(i) for i in range(8)],
+            policy=FetchPolicy(
+                include=IncludePatterns(domain_patterns=frozenset([".test"]))
+            ),
+            run_dir=run_dir,
+            n_fetch_shards=32,
+            n_seen_shards=8,
+            fetch_concurrency=4,
+        )
+        crawl(cfg)
+    return run_dir, spec
+
+
+def _crawl_docs(sf_dir: str):
+    from crawler_ray.pipelines.crawl import read_crawled
+
+    run_dir, _ = _ensure_crawl_run(sf_dir)
+    docs = read_crawled(run_dir).to_pandas()
+    return (
+        docs[["url", "round", "host", "seq", "image_id", "caption", "fmt", "hops"]]
+        .sort_values(["round", "host", "seq"])
+        .reset_index(drop=True)
+    )
+
+
+def _crawl_order(sf_dir: str):
+    from crawler_ray.pipelines.crawl import read_order
+
+    run_dir, _ = _ensure_crawl_run(sf_dir)
+    return read_order(run_dir).select(["round", "host", "seq", "url"])
+
+
+def _crawl_seen(sf_dir: str):
+    """Final seen-set replayed from the checkpoint deltas (url, status)."""
+    import glob
+
+    run_dir, _ = _ensure_crawl_run(sf_dir)
+    status: dict[str, int] = {}
+    for rdir in sorted(glob.glob(os.path.join(run_dir, "round_*"))):
+        for f in sorted(glob.glob(os.path.join(rdir, "seen_delta", "*.parquet"))):
+            t = pq.read_table(f)
+            for u, c in zip(t["url"].to_pylist(), t["status"].to_pylist()):
+                if c == 0:
+                    status.pop(u, None)
+                else:
+                    status[u] = c
+    urls = sorted(status)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "status": pa.array([status[u] for u in urls], pa.int8()),
+        }
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl of the sf0.001-scaled synthetic web; returns
+    the crawled-documents Dataset (url, redirect_chain, content, image
+    payload columns)."""
+    from crawler_ray.pipelines.crawl import read_crawled
+
+    run_dir, _ = _ensure_crawl_run("/root/testdata/sf0.001")
+    return read_crawled(run_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_ray.ops import dedup, multimodal, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for mod in (relational, text, dedup, similarity, multimodal):
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = fn
+    out["crawl_docs"] = _crawl_docs
+    out["crawl_order"] = _crawl_order
+    out["crawl_seen"] = _crawl_seen
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ray.ops import dedup, multimodal, relational, similarity, text
+
+    out: dict[str, str] = {}
+    for mod in (relational, text, dedup, similarity, multimodal):
+        for name, (_fn, sql) in mod.QUERIES.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,180 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {"fetched": n, "urls_per_sec": r}}
+
+--scaling: runs the identical job in fresh subprocesses at 8 and 32 CPUs
+on the same input and prints both throughputs + scaling efficiency
+(BASELINE.json north_rule: >=0.8 from N to 4N).
+
+The headline is the crawl itself (the reference's workload — URLs
+fetched+deduped/sec over the synthetic image+caption web), plus one
+representative query per operator family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "events_hourly",
+    "token_counts",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "ann_topk",
+    "image_stats",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from crawler_ray.fetchsim import FetchPolicy
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.urlkit import IncludePatterns
+    from crawler_ray.webgen import ensure_web
+
+    # warm the page cache (untimed) so we measure compute+shuffle not
+    # first-touch disk reads
+    for name in ("lineitem", "documents", "embeddings", "events"):
+        with open(f"{sf_dir}/{name}.parquet", "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+    total_t0 = time.time()
+
+    # --- headline: the crawl -------------------------------------------
+    n_pages, n_hosts = entrymod._crawl_params(sf_dir)
+    spec, corpus_path = ensure_web(n_pages, n_hosts, seed=42)
+    run_dir = f"/tmp/bench_crawl_{n_pages}_{num_cpus}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        spec=spec,
+        corpus_path=corpus_path,
+        seeds=[spec.url_of(i) for i in range(8)],
+        policy=FetchPolicy(
+            include=IncludePatterns(domain_patterns=frozenset([".test"]))
+        ),
+        run_dir=run_dir,
+        n_fetch_shards=max(16, num_cpus * 2),
+        n_seen_shards=max(8, num_cpus // 2),
+        fetch_concurrency=max(2, num_cpus - 2),
+    )
+    t0 = time.time()
+    summary = crawl(cfg)
+    crawl_sec = time.time() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+
+    # --- query suite ----------------------------------------------------
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        result = qs[name](sf_dir)
+        # force execution
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        if isinstance(result, rd.Dataset):
+            result.count()
+        elif isinstance(result, (pd.DataFrame, pa.Table)):
+            len(result)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - total_t0, 3)
+    return {
+        "metric": "crawl+ops wall time (headline: URLs fetched+deduped/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "crawl": {
+            "fetched": summary.fetched,
+            "stored": summary.stored,
+            "rounds": summary.rounds,
+            "sec": round(crawl_sec, 3),
+            "urls_per_sec": round(summary.fetched / crawl_sec, 2),
+        },
+    }
+
+
+def run_scaling() -> dict:
+    """North-rule evidence: same job, fresh processes, 8 vs 32 CPUs."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["crawl"]["urls_per_sec"]
+    tput_hi = r_hi["crawl"]["urls_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "crawl scaling efficiency (urls/sec, 8 vs 32 cpus)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "urls_per_sec_lo": tput_lo,
+        "urls_per_sec_hi": tput_hi,
+        "sec_lo": r_lo["crawl"]["sec"],
+        "sec_hi": r_hi["crawl"]["sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

@@ -1,0 +1,187 @@
+"""Multimodal column processing: opaque binary payloads + typed metadata.
+
+Pattern (per the build brief): image/audio/video live as ``binary`` columns;
+decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages with small batch sizes (payload bytes dominate block
+size). The image path is REAL end-to-end against the synthetic corpus'
+deterministic codecs (crawler_ray.codecs); audio/video decoding has no
+library in this container, so those stages are stubs with real Ray-side
+plumbing (schema, actor signature, batch handling) that raise
+NotImplementedError at the decode call — swap in pyav/librosa on a real
+deployment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..codecs import decode_image, perceptual_hash
+from ..webgen import ensure_web
+
+
+def corpus_for_sf(sf_dir: str) -> str:
+    """Deterministic synthetic corpus sized to the sf tier (n_pages scales
+    with the documents table: sf0.001 -> 2000 pages)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = max(500, n_docs * 4)
+    n_hosts = max(8, n_pages // 25)
+    _, path = ensure_web(n_pages, n_hosts, seed=42)
+    return path
+
+
+class ImageDecodeStage:
+    """Actor-pool decode + feature stage: decodes the binary column with the
+    corpus codecs and emits per-image features. Small batch_size — payload
+    rows are wide (SURVEY.md §7 hard part d)."""
+
+    def __init__(self):
+        self.decode = decode_image  # real codec (deterministic fake formats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fmts, bright, verify = [], [], [], []
+        for iid, data, ph in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["phash"].to_pylist(),
+        ):
+            px = self.decode(data)
+            ids.append(iid)
+            bright.append(int(px.astype(np.float64).mean() * 100) // 1)
+            fmts.append(px.shape)
+            verify.append(int(perceptual_hash(px) == ph))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "h": pa.array([s[0] for s in fmts], pa.int32()),
+                "w": pa.array([s[1] for s in fmts], pa.int32()),
+                "brightness_e2": pa.array(bright, pa.int64()),
+                "phash_ok": pa.array(verify, pa.int64()),
+            }
+        )
+
+
+def image_stats(sf_dir: str):
+    """Per-format image stats over the synthetic corpus: count, mean
+    brightness, phash-verification rate. Rows-only oracle (the corpus is
+    not a registered DuckDB view); determinism is covered by tests."""
+    from ray.data.aggregate import Count, Sum
+
+    corpus = corpus_for_sf(sf_dir)
+    ds = rd.read_parquet(corpus, columns=["image_id", "bytes", "fmt", "phash"])
+    feats = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    # join fmt back by re-reading metadata-only columns (column pruning:
+    # payload bytes read once, in the decode stage)
+    fmts = rd.read_parquet(corpus, columns=["image_id", "fmt"])
+    fmap = dict(zip(*[fmts.to_pandas()[c] for c in ("image_id", "fmt")]))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df["fmt"] = df["image_id"].map(fmap)
+        return df[["fmt", "brightness_e2", "phash_ok"]]
+
+    return (
+        feats.map_batches(attach, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("brightness_e2", alias_name="brightness_sum_e2"),
+            Sum("phash_ok", alias_name="n_phash_ok"),
+        )
+    )
+
+
+class ImageResizeStage:
+    """Block-mean downsample to 8x8 thumbnails (binary out) — the resize
+    step of a training-data image pipeline, over the toy codecs."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = []
+        for data in batch["bytes"].to_pylist():
+            px = decode_image(data)
+            h, w, _ = px.shape
+            ys = (np.arange(9) * h) // 8
+            xs = (np.arange(9) * w) // 8
+            t = np.zeros((8, 8, 3), dtype=np.uint8)
+            for i in range(8):
+                for j in range(8):
+                    t[i, j] = px[
+                        ys[i] : max(ys[i + 1], ys[i] + 1),
+                        xs[j] : max(xs[j + 1], xs[j] + 1),
+                    ].mean(axis=(0, 1))
+            thumbs.append(t.tobytes())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "thumb": pa.array(thumbs, pa.binary()),
+            }
+        )
+
+
+def image_thumbnails(sf_dir: str):
+    corpus = corpus_for_sf(sf_dir)
+    ds = rd.read_parquet(corpus, columns=["image_id", "bytes"])
+    return ds.map_batches(
+        ImageResizeStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
+class AudioFeatureStage:
+    """STUB: audio decode (no audio library in this container). The Ray
+    plumbing — binary column in, feature schema out, actor-pool shape — is
+    real; the decode call raises."""
+
+    def __init__(self):
+        self.sample_rate = 16_000
+
+    def _decode(self, data: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "audio decode requires librosa/pyav (not in this container); "
+            "swap _decode with a real decoder on deployment"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode(b) for b in batch["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "clip_id": batch["clip_id"],
+                "rms": pa.array([float(np.sqrt((f**2).mean())) for f in feats]),
+            }
+        )
+
+
+class VideoFrameSampleStage:
+    """STUB: video frame sampling (no video library in this container)."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def _frames(self, data: bytes):
+        raise NotImplementedError(
+            "video decode requires pyav/ffmpeg (not in this container)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_id, rows_frame = [], []
+        for vid, data in zip(batch["video_id"].to_pylist(), batch["bytes"].to_pylist()):
+            for i, frame in enumerate(self._frames(data)):
+                if i % self.every_n == 0:
+                    rows_id.append(vid)
+                    rows_frame.append(frame.tobytes())
+        return pa.table(
+            {
+                "video_id": pa.array(rows_id, pa.string()),
+                "frame": pa.array(rows_frame, pa.binary()),
+            }
+        )
+
+
+QUERIES = {
+    "image_stats": (image_stats, None),
+    "image_thumbnails": (image_thumbnails, None),
+}

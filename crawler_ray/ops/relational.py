@@ -1,0 +1,251 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+The reference crawler has no relational layer; these operators anchor the
+engine's general data-processing capability (aggregate / join / window /
+sort / distinct — SURVEY.md §2.6-2.7 extensions) with DuckDB-checkable
+semantics. Patterns exercised:
+
+- **partial aggregation** (combine inside map_batches, then a small
+  groupby) — q1, events_hourly;
+- **broadcast join** (ray.put the small side once, dict-lookup per batch,
+  no shuffle) — q3, nation_rollup;
+- **sort / top-k / distinct** — top_parts, distinct_segments.
+
+Money/value columns are summed as integer cents (ROUND(x*100) per row,
+identical IEEE expression on both sides) so Ray-vs-DuckDB comparisons are
+exact — float sums would differ by accumulation order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(series: pd.Series) -> pd.Series:
+    # matches SQL CAST(ROUND(x*100) AS BIGINT) (half away from zero)
+    import numpy as np
+
+    v = series.to_numpy() * 100.0
+    return pd.Series(np.floor(np.abs(v) + 0.5).astype("int64") * np.sign(v).astype("int64"))
+
+
+def _ints(ds, cols):
+    """Force int64 on aggregate outputs (Ray's Sum may widen to float)."""
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype("int64")
+        return df
+
+    return ds.map_batches(cast, batch_format="pandas")
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary with per-batch partial aggregation."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] < pd.Timestamp("1998-06-01")]
+        if df.empty:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "n_rows"]
+            )
+        df = df.assign(
+            qty=df["l_quantity"].round().astype("int64"),
+            base_cents=_cents(df["l_extendedprice"]).values,
+            disc_cents=_cents(df["l_extendedprice"] * (1.0 - df["l_discount"])).values,
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("qty", "sum"), sum_base_cents=("base_cents", "sum"),
+                 sum_disc_cents=("disc_cents", "sum"), n_rows=("qty", "size"))
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    return _ints(agg, ["sum_qty", "sum_base_cents", "sum_disc_cents", "n_rows"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)                        AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)               AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*)                                                      AS n_rows
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Top-10 BUILDING-segment orders by discounted revenue: broadcast the
+    (small) customer and orders sides; shuffle only tiny partials."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders[orders["o_custkey"].isin(building)]
+    keep = ray.put(set(orders["o_orderkey"]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = ray.get(keep)
+        df = df[df["l_orderkey"].isin(ok)]
+        if df.empty:
+            return pd.DataFrame(columns=["l_orderkey", "revenue_cents"])
+        df = df.assign(revenue_cents=_cents(df["l_extendedprice"] * (1.0 - df["l_discount"])).values)
+        return df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("revenue_cents", "sum"))
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    per_order = (
+        li.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    top = per_order.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+    return _ints(top, ["revenue_cents"])
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped workload as
+    partial-aggregate + groupby; hour emitted as string for exact compare)."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+            value_cents=_cents(df["value"]).values,
+        )
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value_cents", "size"), sum_value_cents=("value_cents", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents"))
+    )
+    return _ints(agg, ["n", "sum_value_cents"])
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY event_type, hour
+"""
+
+
+def nation_rollup(sf_dir: str):
+    """Customer counts + balances per nation name (broadcast dim join)."""
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(names)
+        df = df.assign(
+            n_name=df["c_nationkey"].map(m),
+            acctbal_cents=_cents(df["c_acctbal"]).values,
+        )
+        return df.groupby("n_name", as_index=False).agg(
+            n_customers=("acctbal_cents", "size"), acctbal_cents=("acctbal_cents", "sum")
+        )
+
+    agg = (
+        _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("acctbal_cents", alias_name="acctbal_cents"))
+    )
+    return _ints(agg, ["n_customers", "acctbal_cents"])
+
+
+NATION_ROLLUP_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def top_parts(sf_dir: str):
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda df: df.assign(retail_cents=_cents(df["p_retailprice"]).values)[
+            ["p_partkey", "p_name", "retail_cents"]
+        ],
+        batch_format="pandas",
+    )
+    return ds.sort(["retail_cents", "p_partkey"], descending=[True, False]).limit(10)
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, CAST(ROUND(p_retailprice*100) AS BIGINT) AS retail_cents
+FROM part ORDER BY retail_cents DESC, p_partkey LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str):
+    ds = _t(sf_dir, "customer", ["c_mktsegment"])
+    uniq = ds.unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(uniq), pa.string())})
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def orders_priority_count(sf_dir: str):
+    return (
+        _t(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+ORDERS_PRIORITY_SQL = (
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+)
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "nation_rollup": (nation_rollup, NATION_ROLLUP_SQL),
+    "top_parts": (top_parts, TOP_PARTS_SQL),
+    "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
+    "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
+}

@@ -1,0 +1,138 @@
+"""Text-analysis operators over the ``documents`` table (training-data
+pipeline building blocks): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All stages are vectorized ``map_batches`` bodies; the language/quality rules
+are deliberately expressible in ANSI SQL so DuckDB can act as the exact
+oracle (integer/string outputs only — see ops/relational.py note on float
+sums). Ratios are emitted as FLOOR(100 * a / b) integers so both systems
+round identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import ray.data as rd
+
+_WORD = re.compile(r"[a-z]+")
+_TOKEN = re.compile(r"\S+")
+STOPWORDS = ("the", "a", "of", "and", "to")
+# language marker words -> guess, first match wins; fallback 'other'
+LANG_MARKERS = (("the", "en"), ("la", "es"), ("der", "de"), ("le", "fr"))
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_counts(sf_dir: str):
+    """Whitespace token count per document."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].map(lambda t: len(_TOKEN.findall(t))).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+"""
+
+
+def quality_scores(sf_dir: str):
+    """Length / word / stopword-ratio quality features per document."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.lower().map(_WORD.findall)
+        n_words = words.map(len)
+        n_stop = words.map(lambda ws: sum(w in STOPWORDS for w in ws))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "n_words": n_words.astype("int64"),
+                "stop_pct": (100 * n_stop // n_words.clip(lower=1)).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+QUALITY_SCORES_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+       CAST(FLOOR(100.0 * length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                             x -> x IN ('the','a','of','and','to')))
+                  / GREATEST(length(regexp_extract_all(lower(text), '[a-z]+')), 1))
+            AS BIGINT) AS stop_pct
+FROM documents
+"""
+
+
+def lang_id(sf_dir: str):
+    """Marker-word language guess (first marker whose word occurs wins)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.lower().map(lambda t: set(_WORD.findall(t)))
+
+        def guess(ws: set) -> str:
+            for marker, lang in LANG_MARKERS:
+                if marker in ws:
+                    return lang
+            return "other"
+
+        g = words.map(guess)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_guess": g,
+                "agrees": (g == df["lang"]).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(f, batch_format="pandas")
+
+
+LANG_ID_SQL = r"""
+WITH w AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+     g AS (SELECT doc_id, lang,
+                  CASE WHEN list_contains(ws, 'the') THEN 'en'
+                       WHEN list_contains(ws, 'la')  THEN 'es'
+                       WHEN list_contains(ws, 'der') THEN 'de'
+                       WHEN list_contains(ws, 'le')  THEN 'fr'
+                       ELSE 'other' END AS lang_guess
+           FROM w)
+SELECT doc_id, lang_guess, CAST(lang_guess = lang AS BIGINT) AS agrees FROM g
+"""
+
+
+def fingerprints(sf_dir: str):
+    """Content fingerprint: md5 of lower(trim(text)) — the exact-dedup key."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["text"].map(
+            lambda t: hashlib.md5(t.strip().lower().encode("utf-8")).hexdigest()
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fp})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+FINGERPRINTS_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
+
+
+QUERIES = {
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "fingerprints": (fingerprints, FINGERPRINTS_SQL),
+}

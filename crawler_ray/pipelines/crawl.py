@@ -102,7 +102,8 @@ def _kind_filter(kinds: tuple[str, ...]):
 
 
 class _TerminalApplier:
-    """Routes completion/failure/release rows to seen shards (bulk RPCs)."""
+    """Routes completion/failure/release rows to seen shards (bulk RPCs)
+    and forwards the fetch stage's per-shard stat counters."""
 
     def __init__(self, handles, n_shards):
         self.handles = handles
@@ -113,7 +114,12 @@ class _TerminalApplier:
         kinds = batch["kind"].to_pylist()
         per_shard: dict[int, tuple[list, list, list]] = {}
         releases: dict[int, list] = {}
-        for u, k in zip(urls, kinds):
+        n_proc = n_docs = 0
+        for i, (u, k) in enumerate(zip(urls, kinds)):
+            if k == "stat":
+                n_proc += int(batch["p_seq"][i].as_py())
+                n_docs += int(batch["seq"][i].as_py())
+                continue
             h = url_hash(u)
             s = h % self.n
             if k == "release":
@@ -130,7 +136,12 @@ class _TerminalApplier:
             for s, (us, hs, cs) in per_shard.items()
         ]
         ray.get(refs)
-        return pa.table({"applied": pa.array([len(urls)], pa.int64())})
+        return pa.table(
+            {
+                "n_proc": pa.array([n_proc], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+            }
+        )
 
 
 class _CandidateInserter:
@@ -268,35 +279,32 @@ def crawl(
             num_cpus=1,
         )
         # one materialization per round, metadata-only, lives in the object
-        # store (never on the driver heap)
+        # store (never on the driver heap); order/log/doc files were written
+        # inside the fetch tasks (payloads and logs never re-shuffle)
         meta = fetched.materialize()
 
-        n_proc = meta.map_batches(_kind_filter(("proc",)), batch_format="pyarrow").count()
+        # --- terminal phase + stat collection, ONE pass (terminal must
+        #     finish before the candidate phase: the oracle's convention) --
+        stats_rows = (
+            meta.map_batches(
+                _kind_filter(("completed", "failed", "release", "stat")),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                _TerminalApplier,
+                fn_constructor_args=(shards, cfg.n_seen_shards),
+                batch_format="pyarrow",
+                concurrency=2,
+                num_cpus=0.25,
+            )
+            .take_all()
+        )
+        n_proc = sum(r["n_proc"] for r in stats_rows)
+        n_docs = sum(r["n_docs"] for r in stats_rows)
         summary.fetched += n_proc
 
-        # --- order + logs to checkpoint (dataset writes, driver-free) ----
-        meta.map_batches(_kind_filter(("proc",)), batch_format="pyarrow").map_batches(
-            lambda t: t.select(["url", "host", "seq", "detail"]),
-            batch_format="pyarrow",
-        ).write_parquet(os.path.join(rdir, "order"))
-        meta.map_batches(_kind_filter(("log",)), batch_format="pyarrow").map_batches(
-            lambda t: t.select(["url", "detail"]), batch_format="pyarrow"
-        ).write_parquet(os.path.join(rdir, "logs"))
-
-        # --- terminal phase (must finish before candidate phase: the
-        #     oracle's mutation convention) ------------------------------
-        meta.map_batches(
-            _kind_filter(("completed", "failed", "release")), batch_format="pyarrow"
-        ).map_batches(
-            _TerminalApplier,
-            fn_constructor_args=(shards, cfg.n_seen_shards),
-            batch_format="pyarrow",
-            concurrency=2,
-            num_cpus=0.25,
-        ).count()
-
         # --- quota accounting -------------------------------------------
-        n_docs = meta.map_batches(_kind_filter(("doc",)), batch_format="pyarrow").count()
+        stored_before = summary.stored
         if cfg.limit is not None and summary.stored + n_docs > cfg.limit:
             _trim_round_docs(cfg, rnd, cfg.limit - summary.stored)
             summary.stored = cfg.limit
@@ -335,9 +343,12 @@ def crawl(
         os.makedirs(ddir, exist_ok=True)
         ray.get([s.write_delta.remote(ddir) for s in shards])
 
+        stored_this_round = (
+            n_docs if not summary.quota_reached else max(0, cfg.limit - stored_before)
+        )
         stats = {
             "fetched": n_proc,
-            "stored": n_docs if not summary.quota_reached else min(n_docs, cfg.limit or n_docs),
+            "stored": stored_this_round,
             "frontier_next": frontier_rows,
         }
         summary.round_stats.append({"round": rnd, **stats})

@@ -98,9 +98,13 @@ class FetchGroup:
         self.corpus = open_corpus(corpus_path)  # once per actor
         self.seen = seen_handles
         self.n_seen = n_seen_shards
-        self.docs_dir = os.path.join(run_dir, f"round_{round_idx:05d}", "docs")
-        self.metrics_dir = os.path.join(run_dir, f"round_{round_idx:05d}", "metrics")
-        os.makedirs(self.docs_dir, exist_ok=True)
+        rdir = os.path.join(run_dir, f"round_{round_idx:05d}")
+        self.docs_dir = os.path.join(rdir, "docs")
+        self.metrics_dir = os.path.join(rdir, "metrics")
+        self.order_dir = os.path.join(rdir, "order")
+        self.logs_dir = os.path.join(rdir, "logs")
+        for d in (self.docs_dir, self.order_dir, self.logs_dir):
+            os.makedirs(d, exist_ok=True)
         self.round_idx = round_idx
         self.delay = politeness_delay
         self.record_metrics = record_metrics
@@ -141,6 +145,8 @@ class FetchGroup:
 
         meta_rows: list[tuple] = []  # rows of META_SCHEMA
         docs: list[dict] = []
+        order_rows: list[tuple] = []  # (url, host, seq, detail) -> order/ file
+        log_rows: list[tuple] = []  # (url, detail) -> logs/ file
         timings: list[tuple[str, str, float, float]] = []
         last_fetch_at: dict[str, float] = {}
         seq_counter: dict[str, int] = {}
@@ -160,9 +166,7 @@ class FetchGroup:
             if self.record_metrics:
                 timings.append((host, url, t0, t1))
 
-            meta_rows.append(
-                ("proc", url, host, seq, "", 0, 0, f"{out.status}:{out.reason}")
-            )
+            order_rows.append((url, host, seq, f"{out.status}:{out.reason}"))
             if out.status == "stored":
                 for u in out.completed:
                     meta_rows.append(("completed", u, "", 0, "", 0, 0, ""))
@@ -178,8 +182,7 @@ class FetchGroup:
                         ("link", link, get_domain(link) or "", 0, host, seq, idx, "")
                     )
                 for k, u, d in out.logs:
-                    meta_rows.append(("log", u, "", 0, "", 0, 0, f"{k}: {d}"))
-                meta_rows.append(("doc", url, host, seq, "", 0, 0, ""))
+                    log_rows.append((u, f"{k}: {d}"))
                 docs.append(
                     {
                         "url": url,
@@ -195,11 +198,32 @@ class FetchGroup:
                 )
             elif out.status == "failed":
                 meta_rows.append(("failed", url, "", 0, "", 0, 0, out.reason))
-                meta_rows.append(("log", url, "", 0, "", 0, 0, f"error: {out.reason}"))
+                log_rows.append((url, f"error: {out.reason}"))
             # 'excluded' / 'meta_trap': stays in_progress; nothing emitted
+
+        # per-shard stat row: (p_seq=n_processed, seq=n_docs) — lets the
+        # driver count without extra dataset passes
+        meta_rows.append(("stat", "", "", len(docs), "", len(order_rows), 0, ""))
 
         if docs:
             self._write_docs(shard, docs)
+        self._write_simple(
+            self.order_dir, shard,
+            pa.table({
+                "url": pa.array([r[0] for r in order_rows], pa.string()),
+                "host": pa.array([r[1] for r in order_rows], pa.string()),
+                "seq": pa.array([r[2] for r in order_rows], pa.int64()),
+                "detail": pa.array([r[3] for r in order_rows], pa.string()),
+            }),
+        )
+        if log_rows:
+            self._write_simple(
+                self.logs_dir, shard,
+                pa.table({
+                    "url": pa.array([r[0] for r in log_rows], pa.string()),
+                    "detail": pa.array([r[1] for r in log_rows], pa.string()),
+                }),
+            )
         if self.record_metrics and timings:
             self._write_metrics(shard, timings)
 
@@ -235,6 +259,12 @@ class FetchGroup:
             }
         )
         path = os.path.join(self.docs_dir, f"part-{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    def _write_simple(self, dir_path: str, shard: int, table: pa.Table) -> None:
+        path = os.path.join(dir_path, f"part-{shard:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)

@@ -1,0 +1,131 @@
+"""Unit tests: cuckoo/bloom filters, seen-shard logic, WARC entry layout,
+and the kill-after-round-k resume path (byte-identical outputs)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from crawler_ray.state.filters import BloomFilter, CuckooFilter
+from crawler_ray.state.seen import COMPLETED, IN_PROGRESS, SeenShardLocal
+from crawler_ray.warc import warc_entry
+
+
+def _keys(n, seed=0):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(10_000, 0.01)
+    keys = _keys(10_000)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
+
+
+def test_bloom_false_positive_rate_reasonable():
+    bf = BloomFilter(10_000, 0.01)
+    bf.add_many(_keys(10_000, seed=1))
+    fp = bf.contains_many(_keys(20_000, seed=2)).mean()
+    assert fp < 0.05
+
+
+def test_cuckoo_membership_and_delete():
+    cf = CuckooFilter(10_000)
+    keys = _keys(5_000, seed=3)
+    cf.add_many(keys)
+    assert not cf.degraded
+    assert cf.contains_many(keys).all()  # no false negatives
+    other = _keys(20_000, seed=4)
+    assert cf.contains_many(other).mean() < 0.02  # 16-bit fp -> low fpr
+    cf.delete_many(keys[:100])
+    # deleted keys mostly gone (a collision can keep a fingerprint alive)
+    assert cf.contains_many(keys[:100]).mean() < 0.1
+    assert cf.contains_many(keys[100:]).all()
+
+
+def test_cuckoo_degrades_not_corrupts():
+    cf = CuckooFilter(256)
+    keys = _keys(2_000, seed=5)
+    cf.add_many(keys)  # way over capacity -> must degrade, not crash
+    assert cf.degraded
+
+
+def test_seen_shard_round_protocol():
+    from crawler_ray.urlkit import url_hash
+
+    s = SeenShardLocal(0, capacity=1 << 12)
+    urls = [f"http://h.test/{i}" for i in range(100)]
+    hs = np.array([url_hash(u) for u in urls], dtype=np.uint64)
+    ok = s.check_and_insert(urls, hs)
+    assert all(ok)
+    ok2 = s.check_and_insert(urls, hs)
+    assert not any(ok2)  # all already in-progress
+    assert s.status_many(urls[:5], hs[:5]) == [IN_PROGRESS] * 5
+    s.apply_terminal(urls[:50], hs[:50], [COMPLETED] * 50)
+    assert s.status_many(urls[:3], hs[:3]) == [COMPLETED] * 3
+    # release makes a URL insertable again (sub-fetch quirk path)
+    s.remove_in_progress(urls[60:61])
+    assert s.status_many(urls[60:61], hs[60:61]) == [0]
+    assert s.check_and_insert(urls[60:61], hs[60:61]) == [True]
+
+
+def test_seen_shard_delta_restore_roundtrip():
+    from crawler_ray.urlkit import url_hash
+
+    a = SeenShardLocal(0)
+    urls = [f"http://h.test/{i}" for i in range(50)]
+    hs = np.array([url_hash(u) for u in urls], dtype=np.uint64)
+    a.check_and_insert(urls, hs)
+    a.apply_terminal(urls[:20], hs[:20], [COMPLETED] * 20)
+    delta = a.snapshot_delta()
+    b = SeenShardLocal(0)
+    b.restore(delta.select(["url", "status"]))
+    assert b.status == a.status
+
+
+def test_warc_entry_layout():
+    entry = warc_entry(["http://h.test/landed", "http://h.test/requested"], b"BODY")
+    text = entry.decode()
+    # WarcDocument.hs:17-45: version line, 3 length variants, record id =
+    # LAST of chain, type response, uncompressed
+    assert text.startswith("WARC/1.0\r\n")
+    assert "Content-Length: 4\r\n" in text
+    assert "Original-Content-Length: 4\r\n" in text
+    assert "Uncompressed-Content-Length: 4\r\n" in text
+    assert "WARC-Record-ID: http://h.test/requested\r\n" in text
+    assert "WARC-Target-URI: http://h.test/requested\r\n" in text
+    assert "WARC-Type: response\r\n" in text
+    assert entry.endswith(b"BODY\r\n\r\n")
+
+
+def test_resume_equals_straight_through(ray_session, tmp_path):
+    """Kill after round 2, resume, compare everything byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.fetchsim import FetchPolicy
+    from crawler_ray.pipelines.checkpoint import committed_rounds, resume_crawl
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl, read_crawled, read_order
+    from crawler_ray.urlkit import IncludePatterns
+    from crawler_ray.webgen import ensure_web
+
+    spec, corpus = ensure_web(250, 10, seed=7, cache_dir=str(tmp_path / "web"))
+    policy = FetchPolicy(include=IncludePatterns(domain_patterns=frozenset([".test"])))
+    seeds = [spec.url_of(i) for i in range(3)]
+
+    base = dict(spec=spec, corpus_path=corpus, seeds=seeds, policy=policy,
+                fetch_concurrency=2)
+    cfg_a = CrawlConfig(run_dir=str(tmp_path / "a"), **base)
+    crawl(cfg_a)
+
+    cfg_b = CrawlConfig(run_dir=str(tmp_path / "b"), max_rounds=2, **base)
+    crawl(cfg_b)
+    assert committed_rounds(str(tmp_path / "b")) == [0, 1]
+    cfg_b.max_rounds = 50
+    resume_crawl(cfg_b)
+
+    assert read_order(str(tmp_path / "a")).equals(read_order(str(tmp_path / "b")))
+    da = read_crawled(str(tmp_path / "a")).to_pandas().sort_values(["round", "host", "seq"])
+    db = read_crawled(str(tmp_path / "b")).to_pandas().sort_values(["round", "host", "seq"])
+    assert list(da["url"]) == list(db["url"])
+    assert [bytes(x) for x in da["content"]] == [bytes(x) for x in db["content"]]
