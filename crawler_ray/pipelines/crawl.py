@@ -92,94 +92,98 @@ def _np_u64(vals):
     return np.array(vals, dtype=np.uint64)
 
 
-def _kind_filter(kinds: tuple[str, ...]):
-    vs = pa.array(list(kinds))
+class _CombinedPhase:
+    """Per-seen-shard group over the fetch stage's metadata rows: applies
+    this shard's terminal mutations FIRST (completions/failures/releases —
+    Crawl.hs:169-183), then runs processNextUrl for this shard's candidate
+    links (within-round dedup by minimal discovery key, then bulk
+    insertIfNotDone, Crawl.hs:187-201). Because every mutation of a URL
+    routes to its own shard's single group, the terminal-before-candidate
+    order holds per URL; cross-URL order doesn't matter. The groupby that
+    feeds this stage is an all-to-all barrier, so the whole fetch phase
+    (including its read-only trap-guard lookups) finished already.
 
-    def f(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["kind"], value_set=vs))
-
-    return f
-
-
-class _TerminalApplier:
-    """Routes completion/failure/release rows to seen shards (bulk RPCs)
-    and forwards the fetch stage's per-shard stat counters."""
-
-    def __init__(self, handles, n_shards):
-        self.handles = handles
-        self.n = n_shards
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        kinds = batch["kind"].to_pylist()
-        per_shard: dict[int, tuple[list, list, list]] = {}
-        releases: dict[int, list] = {}
-        n_proc = n_docs = 0
-        for i, (u, k) in enumerate(zip(urls, kinds)):
-            if k == "stat":
-                n_proc += int(batch["p_seq"][i].as_py())
-                n_docs += int(batch["seq"][i].as_py())
-                continue
-            h = url_hash(u)
-            s = h % self.n
-            if k == "release":
-                releases.setdefault(s, []).append(u)
-            else:
-                code = COMPLETED if k == "completed" else FAILED
-                us, hs, cs = per_shard.setdefault(s, ([], [], []))
-                us.append(u)
-                hs.append(h)
-                cs.append(code)
-        refs = [self.handles[s].remove_in_progress.remote(us) for s, us in releases.items()]
-        refs += [
-            self.handles[s].apply_terminal.remote(us, _np_u64(hs), cs)
-            for s, (us, hs, cs) in per_shard.items()
-        ]
-        ray.get(refs)
-        return pa.table(
-            {
-                "n_proc": pa.array([n_proc], pa.int64()),
-                "n_docs": pa.array([n_docs], pa.int64()),
-            }
-        )
-
-
-class _CandidateInserter:
-    """Per-seen-shard group: within-round dedup (minimal candidate key wins,
-    the oracle's canonical candidate order), then bulk insertIfNotDone
-    (Crawl.hs:194-201) on the owning shard actor; survivors are the next
-    frontier rows."""
+    Output: next-frontier rows plus one stats row (url="") per group."""
 
     def __init__(self, handles, n_shards):
         self.handles = handles
         self.n = n_shards
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return FRONTIER_SCHEMA.empty_table()
+        kinds = group["kind"].to_pylist()
         urls = group["url"].to_pylist()
-        keys = list(
-            zip(
-                group["p_host"].to_pylist(),
-                group["p_seq"].to_pylist(),
-                group["link_idx"].to_pylist(),
+        n_proc = n_docs = 0
+        term_u, term_h, term_c = [], [], []
+        releases = []
+        cand_idx = []
+        for i, k in enumerate(kinds):
+            if k == "stat":
+                n_proc += int(group["p_seq"][i].as_py())
+                n_docs += int(group["seq"][i].as_py())
+            elif k == "link":
+                cand_idx.append(i)
+            elif k == "release":
+                releases.append(urls[i])
+            else:  # completed | failed
+                term_u.append(urls[i])
+                term_h.append(url_hash(urls[i]))
+                term_c.append(COMPLETED if k == "completed" else FAILED)
+
+        shard = None
+        refs = []
+        if term_u:
+            shard = term_h[0] % self.n
+            refs.append(
+                self.handles[shard].apply_terminal.remote(term_u, _np_u64(term_h), term_c)
             )
+        if releases:
+            shard = url_hash(releases[0]) % self.n
+            refs.append(self.handles[shard].remove_in_progress.remote(releases))
+        if refs:
+            ray.get(refs)  # terminal phase durable before candidate phase
+
+        keep: list[int] = []
+        if cand_idx:
+            keys = {
+                i: (
+                    group["p_host"][i].as_py(),
+                    group["p_seq"][i].as_py(),
+                    group["link_idx"][i].as_py(),
+                )
+                for i in cand_idx
+            }
+            best: dict[str, int] = {}
+            for i in cand_idx:
+                u = urls[i]
+                j = best.get(u)
+                if j is None or keys[i] < keys[j]:
+                    best[u] = i
+            idxs = sorted(best.values(), key=lambda i: keys[i])
+            uniq = [urls[i] for i in idxs]
+            hashes = [url_hash(u) for u in uniq]
+            shard = hashes[0] % self.n
+            ok = ray.get(
+                self.handles[shard].check_and_insert.remote(uniq, _np_u64(hashes))
+            )
+            keep = [i for i, o in zip(idxs, ok) if o]
+
+        sub = group.take(pa.array(keep, pa.int64())) if keep else None
+        out = {
+            "url": (sub["url"].to_pylist() if sub else []) + [""],
+            "host": (sub["host"].to_pylist() if sub else []) + [""],
+            "p_host": (sub["p_host"].to_pylist() if sub else []) + [""],
+            "p_seq": (sub["p_seq"].to_pylist() if sub else []) + [n_proc],
+            "link_idx": (sub["link_idx"].to_pylist() if sub else []) + [n_docs],
+        }
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "host": pa.array(out["host"], pa.string()),
+                "p_host": pa.array(out["p_host"], pa.string()),
+                "p_seq": pa.array(out["p_seq"], pa.int64()),
+                "link_idx": pa.array(out["link_idx"], pa.int32()),
+            }
         )
-        best: dict[str, int] = {}
-        for i, u in enumerate(urls):
-            j = best.get(u)
-            if j is None or keys[i] < keys[j]:
-                best[u] = i
-        idxs = sorted(best.values(), key=lambda i: keys[i])
-        uniq_urls = [urls[i] for i in idxs]
-        hashes = [url_hash(u) for u in uniq_urls]
-        shard = hashes[0] % self.n
-        ok = ray.get(
-            self.handles[shard].check_and_insert.remote(uniq_urls, _np_u64(hashes))
-        )
-        keep = [i for i, o in zip(idxs, ok) if o]
-        sub = group.take(pa.array(keep, pa.int64()))
-        return sub.select(["url", "host", "p_host", "p_seq", "link_idx"])
 
 
 def _seed_frontier(cfg: CrawlConfig, shards) -> pa.Table:
@@ -234,6 +238,15 @@ def crawl(
     """Run the BFS crawl; resumable via pipelines.checkpoint.resume_crawl."""
     os.makedirs(cfg.run_dir, exist_ok=True)
     summary = CrawlSummary(run_dir=cfg.run_dir, stored=stored_so_far)
+
+    # The fetch pool, the combined-phase pool (0.5 CPU) and the sort-shuffle
+    # tasks (1 CPU each) all live in ONE execution; a fetch pool that
+    # reserves every CPU starves the shuffle and the round livelocks.
+    fetch_concurrency = cfg.fetch_concurrency
+    if isinstance(fetch_concurrency, int):
+        avail = int(ray.cluster_resources().get("CPU", 4))
+        fetch_concurrency = max(1, min(fetch_concurrency, avail - 2))
+
     if shards is None:
         shards = make_shards(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
 
@@ -275,35 +288,31 @@ def crawl(
                 cfg.record_metrics,
             ),
             batch_format="pyarrow",
-            concurrency=cfg.fetch_concurrency,
+            concurrency=fetch_concurrency,
             num_cpus=1,
         )
-        # one materialization per round, metadata-only, lives in the object
-        # store (never on the driver heap); order/log/doc files were written
-        # inside the fetch tasks (payloads and logs never re-shuffle)
-        meta = fetched.materialize()
-
-        # --- terminal phase + stat collection, ONE pass (terminal must
-        #     finish before the candidate phase: the oracle's convention) --
-        stats_rows = (
-            meta.map_batches(
-                _kind_filter(("completed", "failed", "release", "stat")),
-                batch_format="pyarrow",
-            )
-            .map_batches(
-                _TerminalApplier,
-                fn_constructor_args=(shards, cfg.n_seen_shards),
-                batch_format="pyarrow",
-                concurrency=2,
-                num_cpus=0.25,
-            )
-            .take_all()
+        # ONE heavy execution per round: fetch groups -> [sort-shuffle
+        # barrier] -> combined terminal+candidate groups. The materialized
+        # result is metadata-only (next frontier + per-group stat rows);
+        # payload/order/log files were already written inside fetch tasks.
+        combined = fetched.groupby("sshard").map_groups(
+            _CombinedPhase,
+            fn_constructor_args=(shards, cfg.n_seen_shards),
+            batch_format="pyarrow",
+            concurrency=2,
+            num_cpus=0.25,
         )
-        n_proc = sum(r["n_proc"] for r in stats_rows)
-        n_docs = sum(r["n_docs"] for r in stats_rows)
+        mat = combined.materialize()
+
+        stat_rows = mat.map_batches(
+            lambda t: t.filter(pc.equal(t["url"], "")), batch_format="pyarrow"
+        ).take_all()
+        n_proc = sum(r["p_seq"] for r in stat_rows)
+        n_docs = sum(r["link_idx"] for r in stat_rows)
         summary.fetched += n_proc
 
-        # --- quota accounting -------------------------------------------
+        # --- quota accounting (candidates were already inserted — the
+        #     oracle inserts them before breaking on quota too) -----------
         stored_before = summary.stored
         if cfg.limit is not None and summary.stored + n_docs > cfg.limit:
             _trim_round_docs(cfg, rnd, cfg.limit - summary.stored)
@@ -312,29 +321,15 @@ def crawl(
         else:
             summary.stored += n_docs
 
-        # --- candidate phase --------------------------------------------
         next_path = os.path.join(cfg.run_dir, f"frontier_{rnd + 1:05d}")
         os.makedirs(next_path, exist_ok=True)
         frontier_rows = 0
         if not summary.quota_reached:
-            links = meta.map_batches(_kind_filter(("link",)), batch_format="pyarrow")
-            link_ds = links.map_batches(
-                lambda t, n=cfg.n_seen_shards: t.append_column(
-                    "sshard",
-                    pa.array(
-                        [url_hash(u) % n for u in t["url"].to_pylist()], pa.int32()
-                    ),
-                ),
+            survivors = mat.map_batches(
+                lambda t: t.filter(pc.invert(pc.equal(t["url"], ""))),
                 batch_format="pyarrow",
             )
-            survivors = link_ds.groupby("sshard").map_groups(
-                _CandidateInserter,
-                fn_constructor_args=(shards, cfg.n_seen_shards),
-                batch_format="pyarrow",
-                concurrency=2,
-                num_cpus=0.25,
-            ).materialize()
-            frontier_rows = survivors.count()
+            frontier_rows = mat.count() - len(stat_rows)
             if frontier_rows:
                 survivors.write_parquet(next_path)
 

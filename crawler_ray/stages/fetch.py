@@ -34,10 +34,15 @@ from ..state.seen import STATUS_NAMES
 from ..urlkit import url_hash
 from ..webgen import WebSpec
 
-# Unified metadata-row schema flowing out of the fetch stage.
+# Unified metadata-row schema flowing out of the fetch stage. ``sshard``
+# (seen-set shard of the row's url) is the grouping key of the downstream
+# combined terminal+candidate phase; the groupby between the two stages is
+# an all-to-all barrier, so every fetch task (and its read-only meta-guard
+# lookups) completes before any seen-set mutation happens — the round's
+# snapshot invariant.
 META_SCHEMA = pa.schema(
     [
-        ("kind", pa.string()),  # proc | doc | completed | release | link | log
+        ("kind", pa.string()),  # completed | release | failed | link | stat
         ("url", pa.string()),
         ("host", pa.string()),
         ("seq", pa.int64()),
@@ -45,6 +50,7 @@ META_SCHEMA = pa.schema(
         ("p_seq", pa.int64()),
         ("link_idx", pa.int32()),
         ("detail", pa.string()),
+        ("sshard", pa.int32()),
     ]
 )
 
@@ -169,17 +175,18 @@ class FetchGroup:
             order_rows.append((url, host, seq, f"{out.status}:{out.reason}"))
             if out.status == "stored":
                 for u in out.completed:
-                    meta_rows.append(("completed", u, "", 0, "", 0, 0, ""))
+                    meta_rows.append(("completed", u, "", 0, "", 0, 0, "", url_hash(u) % self.n_seen))
                 if url not in out.completed:
                     # sub-fetch quirk: in-progress released, not completed
-                    meta_rows.append(("release", url, "", 0, "", 0, 0, ""))
+                    meta_rows.append(("release", url, "", 0, "", 0, 0, "", url_hash(url) % self.n_seen))
                 for idx, link in enumerate(out.links):
                     if not self.policy.include.accepts(link):
                         continue  # processNextUrl include gate (Crawl.hs:189)
                     from ..urlkit import get_domain
 
                     meta_rows.append(
-                        ("link", link, get_domain(link) or "", 0, host, seq, idx, "")
+                        ("link", link, get_domain(link) or "", 0, host, seq, idx,
+                         "", url_hash(link) % self.n_seen)
                     )
                 for k, u, d in out.logs:
                     log_rows.append((u, f"{k}: {d}"))
@@ -197,13 +204,13 @@ class FetchGroup:
                     }
                 )
             elif out.status == "failed":
-                meta_rows.append(("failed", url, "", 0, "", 0, 0, out.reason))
+                meta_rows.append(("failed", url, "", 0, "", 0, 0, out.reason, url_hash(url) % self.n_seen))
                 log_rows.append((url, f"error: {out.reason}"))
             # 'excluded' / 'meta_trap': stays in_progress; nothing emitted
 
         # per-shard stat row: (p_seq=n_processed, seq=n_docs) — lets the
         # driver count without extra dataset passes
-        meta_rows.append(("stat", "", "", len(docs), "", len(order_rows), 0, ""))
+        meta_rows.append(("stat", "", "", len(docs), "", len(order_rows), 0, "", shard % self.n_seen))
 
         if docs:
             self._write_docs(shard, docs)
