@@ -1,0 +1,79 @@
+"""Shared shuffle helpers for the ops layer.
+
+``bucketed_group_apply``: Ray Data's ``groupby(key).aggregate/map_groups``
+sort-shuffles on the raw key; with high key cardinality (tens of thousands+)
+the boundary sampling and per-key partitioning dominate (measured 24 s for a
+37k-key Sum at sf0.1 vs 0.7 s bucketed). The scalable pattern: hash the key
+into B buckets, shuffle on the LOW-cardinality bucket column, and run an
+ordinary vectorized pandas groupby inside each bucket group. B should be a
+small multiple of the cluster's parallelism — each bucket must fit in one
+task's memory, which holds whenever #keys/B rows do (salt hot keys if a
+single key outweighs a bucket).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+_KNUTH = 2654435761
+
+
+def _bucket_of(df: pd.DataFrame, key_cols: list[str], n_buckets: int) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in key_cols:
+        col = df[c]
+        if col.dtype.kind in "iu":
+            v = col.to_numpy().astype(np.uint64)
+        else:
+            # process-stable string hash (builtin hash() is seeded per
+            # process — workers would disagree on bucket assignment)
+            v = pd.util.hash_array(np.asarray(col, dtype=object)).astype(np.uint64)
+        h = h * np.uint64(31) + v * np.uint64(_KNUTH)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def bucketed_group_apply(
+    ds,
+    key_cols: list[str],
+    per_bucket: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 32,
+):
+    """Shuffle on ``hash(key) % n_buckets`` and apply ``per_bucket`` (which
+    typically does ``g.groupby(key_cols)...``) to each bucket's rows. All
+    rows of a key land in exactly one bucket."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, key_cols, n_buckets)
+        return df
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(apply, batch_format="pandas")
+    )
+
+
+def bucketed_sum(ds, key_cols: list[str], sum_cols: list[str], n_buckets: int = 32):
+    """Partial-aggregated rows -> exact per-key sums, bucketed shuffle."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_cols, as_index=False)[sum_cols].sum()
+
+    return bucketed_group_apply(ds, key_cols, per_bucket, n_buckets)
+
+
+def pool_size(cap: int = 8) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that leave >=2 CPUs for the shuffle
+    tasks sharing the execution (a pool reserving every CPU livelocks the
+    sort stage downstream of it)."""
+    import ray
+
+    avail = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(1, min(cap, avail - 2)))

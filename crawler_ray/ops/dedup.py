@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count
 
+from .common import bucketed_group_apply, pool_size
+
 _MERSENNE = (1 << 61) - 1
 N_HASHES = 64
 N_BANDS = 16  # r = 4 rows/band
@@ -48,16 +50,15 @@ def dedup_exact(sf_dir: str):
             }
         )
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "n_dups": [len(g)]}
-        )
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("fp", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )[["doc_id", "n_dups"]]
 
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(hash_batch, batch_format="pandas")
-        .groupby("fp")
-        .map_groups(first_per_group, batch_format="pandas")
+    return bucketed_group_apply(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(hash_batch, batch_format="pandas"),
+        ["fp"],
+        per_bucket,
     )
 
 
@@ -170,23 +171,25 @@ def minhash_lsh_candidates(sf_dir: str):
     Output: distinct (a, b) candidate pairs. Rows-only oracle (the
     SQL-exact baseline is ngram_jaccard_pairs on the bounded slice)."""
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].astype("int64")))
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["a", "b"]).astype("int64")
-        a0 = ids[0]
-        return pd.DataFrame({"a": [a0] * (len(ids) - 1), "b": ids[1:]}).astype("int64")
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"]):
+            ids = sorted(set(grp["doc_id"].astype("int64")))
+            if len(ids) < 2:
+                continue
+            out_a += [ids[0]] * (len(ids) - 1)
+            out_b += ids[1:]
+        return pd.DataFrame({"a": out_a, "b": out_b}).astype("int64")
 
     sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pandas", batch_size=512, concurrency=2
+        MinHasher, batch_format="pandas", batch_size=512, concurrency=pool_size()
     )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = bucketed_group_apply(sigs, ["band", "band_hash"], pairs_per_bucket)
 
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    def dedup_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+    return bucketed_group_apply(pairs, ["a", "b"], dedup_per_bucket, n_buckets=16)
 
 
 class SimHasher:
@@ -222,7 +225,7 @@ def simhash_fingerprints(sf_dir: str):
     """Per-doc 64-bit SimHash (rows-only oracle: bit-level parity is checked
     by unit tests; SQL cannot express the word-hash accumulation)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=512, concurrency=2
+        SimHasher, batch_format="pandas", batch_size=512, concurrency=pool_size()
     )
 
 

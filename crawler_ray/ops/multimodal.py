@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..codecs import decode_image, perceptual_hash
+from .common import pool_size
 from ..webgen import ensure_web
 
 
@@ -74,7 +75,7 @@ def image_stats(sf_dir: str):
     corpus = corpus_for_sf(sf_dir)
     ds = rd.read_parquet(corpus, columns=["image_id", "bytes", "fmt", "phash"])
     feats = ds.map_batches(
-        ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2
+        ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=pool_size()
     )
     # join fmt back by re-reading metadata-only columns (column pruning:
     # payload bytes read once, in the decode stage)
@@ -127,7 +128,7 @@ def image_thumbnails(sf_dir: str):
     corpus = corpus_for_sf(sf_dir)
     ds = rd.read_parquet(corpus, columns=["image_id", "bytes"])
     return ds.map_batches(
-        ImageResizeStage, batch_format="pyarrow", batch_size=256, concurrency=2
+        ImageResizeStage, batch_format="pyarrow", batch_size=256, concurrency=pool_size()
     )
 
 

@@ -24,6 +24,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from .common import bucketed_sum
+
 
 def _t(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
@@ -114,10 +116,11 @@ def q3_top_orders(sf_dir: str):
         return df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("revenue_cents", "sum"))
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    per_order = (
-        li.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    # high-key-cardinality reduce: bucketed shuffle (see ops.common)
+    per_order = bucketed_sum(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        ["revenue_cents"],
     )
     top = per_order.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
     return _ints(top, ["revenue_cents"])
@@ -150,10 +153,11 @@ def events_hourly(sf_dir: str):
             n=("value_cents", "size"), sum_value_cents=("value_cents", "sum")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents"))
+    agg = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "hour"],
+        ["n", "sum_value_cents"],
+        n_buckets=16,
     )
     return _ints(agg, ["n", "sum_value_cents"])
 

@@ -17,6 +17,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from .common import pool_size
+
 N_QUERIES = 8
 TOP_K = 10
 # 4 hyperplane bits + 1-bit probing scans ~5/16 of the corpus per query;
@@ -158,7 +160,7 @@ def ann_lsh(sf_dir: str):
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])
 
     bucketed = _emb(sf_dir).map_batches(
-        LshIndexStage, batch_format="pandas", batch_size=4096, concurrency=2
+        LshIndexStage, batch_format="pandas", batch_size=4096, concurrency=pool_size()
     )
     partials = bucketed.map_batches(probe, batch_format="pandas", batch_size=4096)
     df = partials.to_pandas()

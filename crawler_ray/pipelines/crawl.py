@@ -2,27 +2,29 @@
 reference's worker/monitor loops (/root/reference/src/Main.hs:22-68,
 Crawl.hs:92-185).
 
-Each round is one streaming Dataset pass (SURVEY.md §3.2):
+Each round is two task fan-outs with file-partitioned exchange
+(SURVEY.md §3.2, re-planned for fixed-cost rounds):
 
-    frontier(k) --groupby(host-shard)--> FetchGroup actor pool   [shuffle 1]
-       | metadata rows (links/completions/logs/order); payload bytes are
-       | written to per-shard parquet INSIDE the fetch task and never shuffle
-       v
-    terminal phase: completions/failures/releases -> seen shards
-    candidate phase: links --groupby(seen-shard)--> dedup + check_and_insert
-                                                             [shuffle 2]
-       v
-    frontier(k+1) parquet + seen-delta parquet + manifest (checkpoint)
+    frontier_k/shard_{s}-*.parquet  (written by round k-1, host-hash
+        |                            partitioned -> politeness, shuffle 1)
+        v  one fetch task per shard (per-host FIFO, sub-fetch chains,
+        |  docs/order/logs written in place; payloads never move again)
+    round_k/meta/ss_{m}-from_{s}.parquet  (seen-shard partitioned,
+        |                                  shuffle 2)
+        v  one combined task per seen shard (terminal mutations, then
+        |  candidate dedup + insertIfNotDone on the shard actor)
+    frontier_{k+1}/shard_{s}-from_{m}.parquet + seen deltas + MANIFEST
 
 Termination: empty next frontier, or stored-doc quota (Main.hs:61-68), or
 max_rounds.
 
-Scale discipline: the driver never holds row data — round metadata is
-materialized once into the OBJECT STORE (metadata-only rows: URLs + small
-ints) and consumed by dataset ops; the next frontier goes to parquet and is
-re-read next round (doubling as the checkpoint); seen-set deltas are written
-by each shard actor itself. Driver heap sees only counters. The quota trim
-of the final round is the only payload-sorting step and touches at most
+Scale discipline: both "shuffles" are explicit hash-partitioned file
+exchanges — the layout a 100 TB crawl needs for checkpoint lineage anyway —
+so a round has no Ray sort and no actor-pool churn; the driver only ever
+sees per-shard counter rows. The ``take_all`` between the stages is the
+fetch-phase barrier that keeps the seen-set frozen while trap-guard
+lookups run (oracle.py's round-snapshot convention). The quota trim of
+the final round is the only payload-sorting step and touches at most
 ``limit`` rows.
 """
 
@@ -34,27 +36,20 @@ import os
 from dataclasses import dataclass, field
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
 from ..fetchsim import FetchPolicy
 from ..state.seen import COMPLETED, FAILED, make_shards
-from ..stages.fetch import FetchGroup, frontier_shard_column
+from ..stages.fetch import (
+    FRONTIER_SCHEMA,
+    combined_shard_batch,
+    fetch_shard_batch,
+    write_frontier_shards,
+)
 from ..urlkit import canonicalise, get_domain, url_hash
 from ..webgen import WebSpec
-
-FRONTIER_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("host", pa.string()),
-        ("p_host", pa.string()),
-        ("p_seq", pa.int64()),
-        ("link_idx", pa.int32()),
-    ]
-)
-
 
 @dataclass
 class CrawlConfig:
@@ -67,11 +62,13 @@ class CrawlConfig:
     max_rounds: int = 50
     n_fetch_shards: int = 16
     n_seen_shards: int = 8
-    # fetch pool size; keep strictly below the session's num_cpus so the
-    # read/shuffle tasks upstream of the pool can still schedule
+    # parallelism is one task per fetch shard (n_fetch_shards); this field
+    # is kept for CLI/API compatibility but no longer drives a pool
     fetch_concurrency: int | tuple = 4
     politeness_delay: float = 0.0
     record_metrics: bool = False
+    # run the per-row payload invariant inline in the fetch stage
+    verify_payload: bool = False
     seen_capacity_per_shard: int = 1 << 17
 
 
@@ -90,100 +87,6 @@ def _np_u64(vals):
     import numpy as np
 
     return np.array(vals, dtype=np.uint64)
-
-
-class _CombinedPhase:
-    """Per-seen-shard group over the fetch stage's metadata rows: applies
-    this shard's terminal mutations FIRST (completions/failures/releases —
-    Crawl.hs:169-183), then runs processNextUrl for this shard's candidate
-    links (within-round dedup by minimal discovery key, then bulk
-    insertIfNotDone, Crawl.hs:187-201). Because every mutation of a URL
-    routes to its own shard's single group, the terminal-before-candidate
-    order holds per URL; cross-URL order doesn't matter. The groupby that
-    feeds this stage is an all-to-all barrier, so the whole fetch phase
-    (including its read-only trap-guard lookups) finished already.
-
-    Output: next-frontier rows plus one stats row (url="") per group."""
-
-    def __init__(self, handles, n_shards):
-        self.handles = handles
-        self.n = n_shards
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        kinds = group["kind"].to_pylist()
-        urls = group["url"].to_pylist()
-        n_proc = n_docs = 0
-        term_u, term_h, term_c = [], [], []
-        releases = []
-        cand_idx = []
-        for i, k in enumerate(kinds):
-            if k == "stat":
-                n_proc += int(group["p_seq"][i].as_py())
-                n_docs += int(group["seq"][i].as_py())
-            elif k == "link":
-                cand_idx.append(i)
-            elif k == "release":
-                releases.append(urls[i])
-            else:  # completed | failed
-                term_u.append(urls[i])
-                term_h.append(url_hash(urls[i]))
-                term_c.append(COMPLETED if k == "completed" else FAILED)
-
-        shard = None
-        refs = []
-        if term_u:
-            shard = term_h[0] % self.n
-            refs.append(
-                self.handles[shard].apply_terminal.remote(term_u, _np_u64(term_h), term_c)
-            )
-        if releases:
-            shard = url_hash(releases[0]) % self.n
-            refs.append(self.handles[shard].remove_in_progress.remote(releases))
-        if refs:
-            ray.get(refs)  # terminal phase durable before candidate phase
-
-        keep: list[int] = []
-        if cand_idx:
-            keys = {
-                i: (
-                    group["p_host"][i].as_py(),
-                    group["p_seq"][i].as_py(),
-                    group["link_idx"][i].as_py(),
-                )
-                for i in cand_idx
-            }
-            best: dict[str, int] = {}
-            for i in cand_idx:
-                u = urls[i]
-                j = best.get(u)
-                if j is None or keys[i] < keys[j]:
-                    best[u] = i
-            idxs = sorted(best.values(), key=lambda i: keys[i])
-            uniq = [urls[i] for i in idxs]
-            hashes = [url_hash(u) for u in uniq]
-            shard = hashes[0] % self.n
-            ok = ray.get(
-                self.handles[shard].check_and_insert.remote(uniq, _np_u64(hashes))
-            )
-            keep = [i for i, o in zip(idxs, ok) if o]
-
-        sub = group.take(pa.array(keep, pa.int64())) if keep else None
-        out = {
-            "url": (sub["url"].to_pylist() if sub else []) + [""],
-            "host": (sub["host"].to_pylist() if sub else []) + [""],
-            "p_host": (sub["p_host"].to_pylist() if sub else []) + [""],
-            "p_seq": (sub["p_seq"].to_pylist() if sub else []) + [n_proc],
-            "link_idx": (sub["link_idx"].to_pylist() if sub else []) + [n_docs],
-        }
-        return pa.table(
-            {
-                "url": pa.array(out["url"], pa.string()),
-                "host": pa.array(out["host"], pa.string()),
-                "p_host": pa.array(out["p_host"], pa.string()),
-                "p_seq": pa.array(out["p_seq"], pa.int64()),
-                "link_idx": pa.array(out["link_idx"], pa.int32()),
-            }
-        )
 
 
 def _seed_frontier(cfg: CrawlConfig, shards) -> pa.Table:
@@ -239,14 +142,6 @@ def crawl(
     os.makedirs(cfg.run_dir, exist_ok=True)
     summary = CrawlSummary(run_dir=cfg.run_dir, stored=stored_so_far)
 
-    # The fetch pool, the combined-phase pool (0.5 CPU) and the sort-shuffle
-    # tasks (1 CPU each) all live in ONE execution; a fetch pool that
-    # reserves every CPU starves the shuffle and the round livelocks.
-    fetch_concurrency = cfg.fetch_concurrency
-    if isinstance(fetch_concurrency, int):
-        avail = int(ray.cluster_resources().get("CPU", 4))
-        fetch_concurrency = max(1, min(fetch_concurrency, avail - 2))
-
     if shards is None:
         shards = make_shards(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
 
@@ -255,7 +150,7 @@ def crawl(
         frontier_tbl = _seed_frontier(cfg, shards)
         frontier_path = os.path.join(cfg.run_dir, "frontier_00000")
         os.makedirs(frontier_path, exist_ok=True)
-        pq.write_table(frontier_tbl, os.path.join(frontier_path, "part-0.parquet"))
+        write_frontier_shards(frontier_tbl, frontier_path, cfg.n_fetch_shards, "seeds")
         frontier_rows = frontier_tbl.num_rows
     else:
         frontier_path = start_frontier_path
@@ -264,54 +159,46 @@ def crawl(
             for f in glob.glob(os.path.join(frontier_path, "*.parquet"))
         )
 
+    import time as _time
+
     while frontier_rows and rnd < cfg.max_rounds:
+        _t_round = _time.time()
         rdir = _round_dir(cfg.run_dir, rnd)
         os.makedirs(rdir, exist_ok=True)
+        next_path = os.path.join(cfg.run_dir, f"frontier_{rnd + 1:05d}")
 
-        ds = rd.read_parquet(frontier_path)
-        ds = ds.map_batches(
-            frontier_shard_column,
-            batch_format="pyarrow",
-            fn_kwargs={"n_fetch_shards": cfg.n_fetch_shards},
+        # --- fetch stage: one task per fetch shard; all exchange through
+        #     partitioned files (see stages/fetch.py module doc) ----------
+        stats1 = (
+            rd.from_items(
+                list(range(cfg.n_fetch_shards)),
+                override_num_blocks=cfg.n_fetch_shards,
+            )
+            .map_batches(
+                fetch_shard_batch,
+                batch_format="pyarrow",
+                fn_kwargs=dict(
+                    spec=cfg.spec,
+                    policy=cfg.policy,
+                    corpus_path=cfg.corpus_path,
+                    seen_handles=shards,
+                    n_seen_shards=cfg.n_seen_shards,
+                    run_dir=cfg.run_dir,
+                    round_idx=rnd,
+                    frontier_dir=frontier_path,
+                    politeness_delay=cfg.politeness_delay,
+                    record_metrics=cfg.record_metrics,
+                    verify_payload=cfg.verify_payload,
+                ),
+            )
+            .take_all()
         )
-        fetched = ds.groupby("shard").map_groups(
-            FetchGroup,
-            fn_constructor_args=(
-                cfg.spec,
-                cfg.policy,
-                cfg.corpus_path,
-                shards,
-                cfg.n_seen_shards,
-                cfg.run_dir,
-                rnd,
-                cfg.politeness_delay,
-                cfg.record_metrics,
-            ),
-            batch_format="pyarrow",
-            concurrency=fetch_concurrency,
-            num_cpus=1,
-        )
-        # ONE heavy execution per round: fetch groups -> [sort-shuffle
-        # barrier] -> combined terminal+candidate groups. The materialized
-        # result is metadata-only (next frontier + per-group stat rows);
-        # payload/order/log files were already written inside fetch tasks.
-        combined = fetched.groupby("sshard").map_groups(
-            _CombinedPhase,
-            fn_constructor_args=(shards, cfg.n_seen_shards),
-            batch_format="pyarrow",
-            concurrency=2,
-            num_cpus=0.25,
-        )
-        mat = combined.materialize()
-
-        stat_rows = mat.map_batches(
-            lambda t: t.filter(pc.equal(t["url"], "")), batch_format="pyarrow"
-        ).take_all()
-        n_proc = sum(r["p_seq"] for r in stat_rows)
-        n_docs = sum(r["link_idx"] for r in stat_rows)
+        _t_fetch = _time.time() - _t_round
+        n_proc = sum(r["n_proc"] for r in stats1)
+        n_docs = sum(r["n_docs"] for r in stats1)
         summary.fetched += n_proc
 
-        # --- quota accounting (candidates were already inserted — the
+        # --- quota accounting (candidates still get inserted below — the
         #     oracle inserts them before breaking on quota too) -----------
         stored_before = summary.stored
         if cfg.limit is not None and summary.stored + n_docs > cfg.limit:
@@ -321,17 +208,29 @@ def crawl(
         else:
             summary.stored += n_docs
 
-        next_path = os.path.join(cfg.run_dir, f"frontier_{rnd + 1:05d}")
-        os.makedirs(next_path, exist_ok=True)
-        frontier_rows = 0
-        if not summary.quota_reached:
-            survivors = mat.map_batches(
-                lambda t: t.filter(pc.invert(pc.equal(t["url"], ""))),
-                batch_format="pyarrow",
+        # --- combined terminal+candidate stage: one task per seen shard;
+        #     the take_all() above is the fetch-phase barrier -------------
+        stats2 = (
+            rd.from_items(
+                list(range(cfg.n_seen_shards)),
+                override_num_blocks=cfg.n_seen_shards,
             )
-            frontier_rows = mat.count() - len(stat_rows)
-            if frontier_rows:
-                survivors.write_parquet(next_path)
+            .map_batches(
+                combined_shard_batch,
+                batch_format="pyarrow",
+                fn_kwargs=dict(
+                    seen_handles=shards,
+                    n_seen_shards=cfg.n_seen_shards,
+                    n_fetch_shards=cfg.n_fetch_shards,
+                    run_dir=cfg.run_dir,
+                    round_idx=rnd,
+                    next_frontier_dir=next_path,
+                ),
+            )
+            .take_all()
+        )
+        frontier_rows = sum(r["n_new"] for r in stats2)
+        _t_combined = _time.time() - _t_round - _t_fetch
 
         # --- seen deltas: each shard writes its own file -----------------
         ddir = os.path.join(rdir, "seen_delta")
@@ -345,6 +244,9 @@ def crawl(
             "fetched": n_proc,
             "stored": stored_this_round,
             "frontier_next": frontier_rows,
+            "sec_fetch": round(_t_fetch, 3),
+            "sec_combined": round(_t_combined, 3),
+            "sec_round": round(_time.time() - _t_round, 3),
         }
         summary.round_stats.append({"round": rnd, **stats})
         _commit_round(rdir, rnd, stats, next_path)

@@ -16,6 +16,7 @@ Crawl.hs:42-44), never per batch.
 from __future__ import annotations
 
 import bisect
+import os
 from collections import OrderedDict
 
 import pyarrow as pa
@@ -104,7 +105,70 @@ class LanceCorpusStore:  # pragma: no cover - requires lance wheel
         return self._ds.take(rows, columns=self._columns)
 
 
+class ShardedParquetCorpusStore:
+    """Directory of per-fetch-shard partition files (webgen.
+    ensure_web_sharded): a take routes each id to its owning partition via
+    the deterministic id -> host -> shard mapping and row-group-prunes
+    WITHIN that partition. A fetch task's lookups mostly hit its own
+    (small) partition file — the 'one partitioning key across stages'
+    rule; measured ~50x less read amplification than random takes against
+    the flat corpus at 300k pages."""
+
+    def __init__(self, dir_path: str, columns: list[str] | None = None,
+                 max_open_shards: int = 512):
+        import json
+
+        from ..urlkit import url_hash
+        from ..webgen import WebSpec
+
+        with open(os.path.join(dir_path, "meta.json")) as f:
+            meta = json.load(f)
+        self._spec = WebSpec(meta["n_pages"], meta["n_hosts"], meta["seed"])
+        self._n_shards = meta["n_shards"]
+        self._shard_of_host = [
+            url_hash(f"host{h}.test") % self._n_shards
+            for h in range(meta["n_hosts"])
+        ]
+        self._dir = dir_path
+        self._columns = columns
+        self._open: OrderedDict[int, ParquetCorpusStore] = OrderedDict()
+        self._cap = max_open_shards
+
+    def _store(self, shard: int) -> ParquetCorpusStore:
+        s = self._open.get(shard)
+        if s is None:
+            s = ParquetCorpusStore(
+                os.path.join(self._dir, f"shard_{shard:05d}.parquet"),
+                self._columns,
+                # cross-shard lookups are scattered; a deep row-group cache
+                # only pays off for the task's own partition (few groups)
+                cache_row_groups=2,
+            )
+            self._open[shard] = s
+            if len(self._open) > self._cap:
+                self._open.popitem(last=False)
+        else:
+            self._open.move_to_end(shard)
+        return s
+
+    def take(self, image_ids: list[str]) -> pa.Table:
+        by_shard: dict[int, list[tuple[int, str]]] = {}
+        for pos, iid in enumerate(image_ids):
+            shard = self._shard_of_host[self._spec.host_of(int(iid[3:]))]
+            by_shard.setdefault(shard, []).append((pos, iid))
+        pieces: list[pa.Table | None] = [None] * len(image_ids)
+        for shard, wants in by_shard.items():
+            sub = self._store(shard).take([iid for _, iid in wants])
+            for k, (pos, _) in enumerate(wants):
+                pieces[pos] = sub.slice(k, 1)
+        return pa.concat_tables([p for p in pieces if p is not None])
+
+
 def open_corpus(path: str, columns: list[str] | None = None):
-    if HAVE_LANCE and not path.endswith(".parquet"):
-        return LanceCorpusStore(path, columns)
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "meta.json")):
+            return ShardedParquetCorpusStore(path, columns)
+        if HAVE_LANCE:
+            return LanceCorpusStore(path, columns)
+        raise ValueError(f"unrecognized corpus directory layout: {path}")
     return ParquetCorpusStore(path, columns)

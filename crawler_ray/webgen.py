@@ -266,3 +266,63 @@ def ensure_web(
         writer.close()
         os.replace(tmp, path)  # atomic: concurrent builders converge
     return spec, path
+
+
+def ensure_web_sharded(
+    n_pages: int,
+    n_hosts: int,
+    n_shards: int,
+    seed: int = 42,
+    cache_dir: str = "/tmp/crawler_ray_cache",
+) -> tuple[WebSpec, str]:
+    """Corpus partitioned by the FETCH-SHARD key (url_hash(host) %
+    n_shards) — the same partitioning the crawl's fetch stage uses, so a
+    fetch task's payload lookups hit (mostly) its own partition file
+    instead of scattering row-group reads across the whole corpus. One
+    partitioning key, reused across stages. Each partition is sorted by
+    image_id for row-group-pruned take; ``meta.json`` makes the directory
+    self-describing for open_corpus()."""
+    import json
+
+    from .urlkit import url_hash
+
+    spec, flat_path = ensure_web(n_pages, n_hosts, seed, cache_dir)
+    out_dir = os.path.join(
+        cache_dir, f"corpus_sharded_{n_pages}_{n_hosts}_{seed}_{n_shards}"
+    )
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        return spec, out_dir
+    tmp_dir = out_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    shard_of_host = {
+        h: url_hash(f"host{h}.test") % n_shards for h in range(n_hosts)
+    }
+    writers: dict[int, pq.ParquetWriter] = {}
+    pf = pq.ParquetFile(flat_path)
+    for rg in range(pf.metadata.num_row_groups):
+        t = pf.read_row_group(rg)
+        ids = t["image_id"].to_pylist()
+        shards = [shard_of_host[spec.host_of(int(i[3:]))] for i in ids]
+        by_shard: dict[int, list[int]] = {}
+        for j, s in enumerate(shards):
+            by_shard.setdefault(s, []).append(j)
+        for s, idxs in by_shard.items():
+            w = writers.get(s)
+            if w is None:
+                w = pq.ParquetWriter(
+                    os.path.join(tmp_dir, f"shard_{s:05d}.parquet"), CORPUS_SCHEMA
+                )
+                writers[s] = w
+            w.write_table(
+                t.take(pa.array(idxs, pa.int64())), row_group_size=1024
+            )
+    for w in writers.values():
+        w.close()
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed, "n_shards": n_shards},
+            f,
+        )
+    os.replace(tmp_dir, out_dir)
+    return spec, out_dir
