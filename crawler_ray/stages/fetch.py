@@ -154,17 +154,15 @@ def fetch_shard_batch(
         group = pa.concat_tables([pq.read_table(f) for f in files])
 
         # per-host FIFO: order by (host, candidate key); assign per-host seq
-        order = sorted(
-            range(group.num_rows),
-            key=lambda i: (
-                group["host"][i].as_py(),
-                group["p_host"][i].as_py(),
-                group["p_seq"][i].as_py(),
-                group["link_idx"][i].as_py(),
-            ),
-        )
         host_col = group["host"].to_pylist()
         url_col = group["url"].to_pylist()
+        _ph = group["p_host"].to_pylist()
+        _ps = group["p_seq"].to_pylist()
+        _li = group["link_idx"].to_pylist()
+        order = sorted(
+            range(group.num_rows),
+            key=lambda i: (host_col[i], _ph[i], _ps[i], _li[i]),
+        )
 
         meta_rows: list[tuple] = []  # rows of META_SCHEMA
         docs: list[dict] = []
@@ -381,6 +379,9 @@ def combined_shard_batch(
         t = pa.concat_tables([pq.read_table(f) for f in files])
         kinds = t["kind"].to_pylist()
         urls = t["url"].to_pylist()
+        ph_col = t["p_host"].to_pylist()
+        ps_col = t["p_seq"].to_pylist()
+        li_col = t["link_idx"].to_pylist()
         handle = seen_handles[ss]
 
         term_u, term_h, term_c, releases = [], [], [], []
@@ -408,14 +409,7 @@ def combined_shard_batch(
 
         n_new = 0
         if cand_idx:
-            keys = {
-                i: (
-                    t["p_host"][i].as_py(),
-                    t["p_seq"][i].as_py(),
-                    t["link_idx"][i].as_py(),
-                )
-                for i in cand_idx
-            }
+            keys = {i: (ph_col[i], ps_col[i], li_col[i]) for i in cand_idx}
             best: dict[str, int] = {}
             for i in cand_idx:
                 u = urls[i]
