@@ -244,6 +244,104 @@ ORDERS_PRIORITY_SQL = (
 )
 
 
+def user_sessions(sf_dir: str):
+    """Sessionization over the events stream: per user, count sessions split
+    at 30-minute inactivity gaps (ordered, partitioned log -> per-key group
+    windowing per ray_guide 'Streaming-shaped workloads'; bucketed shuffle
+    on user_id)."""
+    from .common import bucketed_group_apply
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        def one_user(u: pd.DataFrame) -> pd.Series:
+            ts = u["ts"].sort_values()
+            gaps = ts.diff() > pd.Timedelta(minutes=30)
+            return pd.Series(
+                {"n_sessions": int(gaps.sum()) + 1, "n_events": len(ts)}
+            )
+
+        out = g.groupby("user_id").apply(one_user).reset_index()
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return bucketed_group_apply(ds, ["user_id"], per_bucket, n_buckets=16)
+
+
+USER_SESSIONS_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM x GROUP BY user_id
+"""
+
+
+def part_type_stats(sf_dir: str):
+    """Per p_type: count, min/max retail cents (Min/Max aggregates)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _t(sf_dir, "part", ["p_type", "p_retailprice"]).map_batches(
+        lambda df: df.assign(retail_cents=_cents(df["p_retailprice"]).values)[
+            ["p_type", "retail_cents"]
+        ],
+        batch_format="pandas",
+    )
+    agg = ds.groupby("p_type").aggregate(
+        Count(alias_name="n"),
+        Min("retail_cents", alias_name="min_cents"),
+        Max("retail_cents", alias_name="max_cents"),
+    )
+    return _ints(agg, ["n", "min_cents", "max_cents"])
+
+
+PART_TYPE_SQL = """
+SELECT p_type, COUNT(*) AS n,
+       CAST(MIN(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM part GROUP BY p_type
+"""
+
+
+def supplier_nation_rollup(sf_dir: str):
+    """Suppliers per nation (broadcast dim join on the tiny side)."""
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(names)
+        df = df.assign(n_name=df["s_nationkey"].map(m),
+                       acctbal_cents=_cents(df["s_acctbal"]).values)
+        return df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("acctbal_cents", "size"),
+            acctbal_cents=("acctbal_cents", "sum"),
+        )
+
+    agg = (
+        _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(f, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                   Sum("acctbal_cents", alias_name="acctbal_cents"))
+    )
+    return _ints(agg, ["n_suppliers", "acctbal_cents"])
+
+
+SUPPLIER_NATION_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -252,4 +350,7 @@ QUERIES = {
     "top_parts": (top_parts, TOP_PARTS_SQL),
     "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
+    "user_sessions": (user_sessions, USER_SESSIONS_SQL),
+    "part_type_stats": (part_type_stats, PART_TYPE_SQL),
+    "supplier_nation_rollup": (supplier_nation_rollup, SUPPLIER_NATION_SQL),
 }
