@@ -20,8 +20,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count
-
 from .common import bucketed_group_apply, pool_size
 
 _MERSENNE = (1 << 61) - 1

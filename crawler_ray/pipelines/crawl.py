@@ -41,7 +41,7 @@ import ray
 import ray.data as rd
 
 from ..fetchsim import FetchPolicy
-from ..state.seen import COMPLETED, FAILED, make_shards
+from ..state.seen import make_shards
 from ..stages.fetch import (
     FRONTIER_SCHEMA,
     combined_shard_batch,
