@@ -73,6 +73,8 @@ class FetchResult:
     body: str
     page_id: int | None
     error: str = ""
+    # cookies the response set (Fetch.hs:40 destroyCookieJar . responseCookieJar)
+    set_cookies: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass
@@ -88,6 +90,10 @@ class ProcessOutcome:
     links: list[str] = field(default_factory=list)  # canonical, discovery order
     logs: list[tuple[str, str, str]] = field(default_factory=list)  # kind,url,detail
     hops: int = 0  # sub-fetch chain length (direction/meta/form)
+    # new cookies the final response set that were NOT in its request's jar
+    # (shareCookies (responseCookies \\ cookiesSent), Crawl.hs:159-167);
+    # only populated for stored+included outcomes
+    shared_cookies: list[tuple[str, str]] = field(default_factory=list)
 
 
 def robots_allowed(spec: WebSpec, policy: FetchPolicy, url: str) -> bool:
@@ -104,26 +110,64 @@ def robots_allowed(spec: WebSpec, policy: FetchPolicy, url: str) -> bool:
     return not any(path.startswith(p) for p in spec.robots_disallow(h))
 
 
-def simulate_fetch(spec: WebSpec, policy: FetchPolicy, url: str) -> FetchResult:
-    """GET ``url`` against the synthetic web, following its redirect chain."""
-    kind, page_id = spec.resolve(url)
+def request_url(request) -> str:
+    """URL of a GET (plain string) or form-submission request."""
+    return request if isinstance(request, str) else request.target_url
+
+
+def simulate_fetch(
+    spec: WebSpec,
+    policy: FetchPolicy,
+    request,
+    cookies: tuple[tuple[str, str], ...] = (),
+) -> FetchResult:
+    """One HTTP exchange against the synthetic web, following redirects.
+
+    ``request`` is a URL string (GetRequest) or a formlogic.FormRequest
+    whose merged params are transmitted — urlencoded body for POST, query
+    string otherwise (Request.hs:33 applyParametersFrom,
+    DownloadRequest.hs:15-34). ``cookies`` is the request's cookie jar
+    (Request.hs:36 createCookieJar requestCookies).
+    """
+    if isinstance(request, str):
+        url, method, params = request, "GET", ()
+    else:
+        url, method, params = request.target_url, request.method, request.params
+    kind, page_id, set_cookies = spec.resolve_request(
+        url, method=method, params=params, cookies=tuple(cookies)
+    )
     if kind == "notfound":
         return FetchResult(False, [url], "", None, "HTTP 404")
+
+    def _sized(fr: FetchResult) -> FetchResult:
+        # HttpUtil.hs:12-25 checkSize: a declared Content-Length above the
+        # cap FAILS the fetch (the reference then also truncates the body
+        # stream, Fetch.hs:37 — dead code here since declared == actual)
+        if len(fr.body) > policy.max_content_length:
+            return FetchResult(
+                False, fr.chain[-1:], "", None,
+                f"Content-Length exceeded {policy.max_content_length}",
+            )
+        return fr
+
     if kind == "submit":
         body = spec.render_page(page_id, spec.caption_of(page_id))
-        return FetchResult(True, [url], body, page_id)
+        return _sized(FetchResult(True, [url], body, page_id, set_cookies=set_cookies))
     # kind == "page"
     if spec.kind_of(page_id) == "redirect":
         visit_chain, target = spec.redirect_chain(page_id)
-        if len(visit_chain) - 1 > policy.max_redirects:
+        # Fetch.hs:58 'go _ 0 _' errors when the counter reaches 0: at most
+        # maxRedirects-1 follows succeed (off-by-one kept, ADVICE r1)
+        if len(visit_chain) - 1 >= policy.max_redirects:
             return FetchResult(False, [url], "", None, "Too many redirects")
+        if spec.page_gated(target, tuple(cookies)):
+            # the redirect landed on a session-gated page without the cookie
+            return FetchResult(False, [url], "", None, "HTTP 404")
         body = spec.render_page(target, spec.caption_of(target))
         # reference order: landed first, requested last (Fetch.hs:42)
-        return FetchResult(True, list(reversed(visit_chain)), body, target)
+        return _sized(FetchResult(True, list(reversed(visit_chain)), body, target))
     body = spec.render_page(page_id, spec.caption_of(page_id))
-    if len(body) > policy.max_content_length:  # Fetch.hs:37 truncation
-        body = body[: policy.max_content_length]
-    return FetchResult(True, [url], body, page_id)
+    return _sized(FetchResult(True, [url], body, page_id))
 
 
 def process_url(
@@ -131,11 +175,16 @@ def process_url(
     policy: FetchPolicy,
     url: str,
     is_done: Callable[[str], bool],
+    cookies: tuple[tuple[str, str], ...] = (),
 ) -> ProcessOutcome:
     """The full worker iteration for one frontier URL (Crawl.hs:104-162).
 
     ``is_done`` answers the meta-refresh trap guard's checkNotDone
     (Crawl.hs:138; any of completed/in-progress/failed -> True).
+    ``cookies`` is the shared cookie list's snapshot at dequeue time
+    (Crawl.hs:106 readTVarIO getCookieList); each sub-fetch sends
+    ``responseCookies ++ cookiesSent`` (Crawl.hs:124,137,149), and a stored
+    outcome reports the final response's NEW cookies for round-end sharing.
     """
     out = ProcessOutcome(url=url, status="failed")
 
@@ -143,7 +192,8 @@ def process_url(
         out.reason = "robots_disallowed"
         return out
 
-    fr = simulate_fetch(spec, policy, url)
+    sent = tuple(cookies)
+    fr = simulate_fetch(spec, policy, url, sent)
     hops = 0
     while True:
         if not fr.ok:
@@ -155,7 +205,7 @@ def process_url(
 
         # 1. href direction (Crawl.hs:123-129)
         direction = find_direction(list(policy.directions), landed, fr.body)
-        next_request: str | None = None
+        next_request = None  # URL string (GET) or FormRequest
         if direction is not None:
             next_request = direction
         else:
@@ -177,7 +227,8 @@ def process_url(
                     return out
                 next_request = meta_url
             else:
-                # 3. form instruction (Crawl.hs:147-152)
+                # 3. form instruction (Crawl.hs:147-152) — the submission
+                #    transmits method + merged params (Request.hs:33)
                 try:
                     form_req = select_form_options(
                         policy.form_instructions, landed, get_forms(tags)
@@ -187,7 +238,7 @@ def process_url(
                     out.reason = str(e)
                     return out
                 if form_req is not None:
-                    next_request = form_req.target_url
+                    next_request = form_req
 
         if next_request is not None:
             hops += 1
@@ -196,15 +247,16 @@ def process_url(
                 out.reason = "too many sub-fetch hops"
                 out.hops = hops
                 return out
-            if not robots_allowed(spec, policy, next_request):
+            if not robots_allowed(spec, policy, request_url(next_request)):
                 out.status = "failed"
                 out.reason = "robots_disallowed (sub-fetch)"
                 out.hops = hops
                 return out
             # recurse: attribution stays with the original ``url``; the meta
             # resolution base stays the *original* nextUrl at every level
-            # (Crawl.hs:132)
-            fr = simulate_fetch(spec, policy, next_request)
+            # (Crawl.hs:132); moreCookies = responseCookies ++ cookiesSent
+            sent = tuple(fr.set_cookies) + sent
+            fr = simulate_fetch(spec, policy, next_request, sent)
             continue
 
         # 4. store (Crawl.hs:153,156-162)
@@ -218,6 +270,9 @@ def process_url(
             return out
         out.status = "stored"
         out.completed = list(fr.chain)  # innermost chain only (Crawl.hs:174)
+        # shareCookies (responseCookies \\ cookiesSent), inside 'when
+        # included' (Crawl.hs:158-159): new cookies of the FINAL response
+        out.shared_cookies = [c for c in fr.set_cookies if c not in sent]
         for raw in get_raw_hrefs(tags):
             k, v = derelativise(landed, raw)
             if k == "url":

@@ -80,8 +80,19 @@ def select_form_options(
     form_location: str,
     forms: list[Form],
 ) -> FormRequest | None:
-    """Forms.hs:56-67: first form with an applicable instruction wins."""
+    """Forms.hs:56-67: first form with an applicable instruction wins.
+
+    Laziness fidelity (ADVICE r1): the reference's per-form formTargetUrl
+    ``error`` thunk is only forced when some instruction's UrlRegex already
+    matched the page, so with no URL-matching instruction a bad form action
+    returns Nothing instead of erroring. Mirror by pre-filtering on
+    url_regex (it only depends on form_location) before derelativising.
+    """
     if not instructions:
+        return None
+    if not any(
+        re.search(ins.url_regex, form_location) for ins in instructions.values()
+    ):
         return None
     for form in forms:
         kind, target = derelativise(form_location, form.action)

@@ -49,6 +49,8 @@ class OracleResult:
     crawled: list[dict] = field(default_factory=list)
     logs: list[tuple[str, str, str]] = field(default_factory=list)
     rounds: int = 0
+    # final shared cookie list (name -> value), Crawl.hs getCookieList
+    cookies: dict[str, str] = field(default_factory=dict)
 
 
 def run_oracle(
@@ -86,11 +88,15 @@ def run_oracle(
     while frontier and rnd < max_rounds:
         frontier.sort(key=lambda t: (t[0], t[1]))
         snapshot = dict(seen)  # trap guard reads round-start state
+        # cookie list likewise frozen at its round-start snapshot (one
+        # valid serialization of the reference's racy shared TVar,
+        # Crawl.hs:106); shared cookies apply at round end below
+        csnap = tuple(sorted(res.cookies.items()))
 
         outcomes = []
         for host, seq, url in frontier:
             res.order.append((rnd, host, seq, url))
-            out = process_url(spec, policy, url, lambda u: u in snapshot)
+            out = process_url(spec, policy, url, lambda u: u in snapshot, cookies=csnap)
             outcomes.append((host, seq, out))
 
         # --- apply completions/failures in canonical order -------------
@@ -101,6 +107,8 @@ def run_oracle(
                 seen.pop(out.url, None)  # S.delete in-progress (Crawl.hs:173)
                 for u in out.completed:
                     seen[u] = "completed"
+                for n, v in out.shared_cookies:  # shareCookies (Crawl.hs:159)
+                    res.cookies[n] = v
                 round_docs.append((host, seq, out))
                 for idx, link in enumerate(out.links):
                     candidates.append((host, seq, idx, link))

@@ -73,9 +73,12 @@ def resume_crawl(cfg: CrawlConfig) -> CrawlSummary:
     last = rounds[-1]
     shards = rebuild_shards(cfg, last)
     stored = 0
+    cookies: dict = {}
     for rnd in rounds:
         with open(os.path.join(cfg.run_dir, f"round_{rnd:05d}", "MANIFEST.json")) as f:
-            stored += json.load(f)["stats"]["stored"]
+            m = json.load(f)
+        stored += m["stats"]["stored"]
+        cookies = m.get("cookies", cookies)  # last committed round's list
     next_frontier = os.path.join(cfg.run_dir, f"frontier_{last + 1:05d}")
     return crawl(
         cfg,
@@ -83,4 +86,5 @@ def resume_crawl(cfg: CrawlConfig) -> CrawlSummary:
         start_round=last + 1,
         start_frontier_path=next_frontier,
         stored_so_far=stored,
+        cookies0=cookies,
     )

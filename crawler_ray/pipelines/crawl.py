@@ -1,31 +1,45 @@
-"""Round-based BFS crawl driver: the Ray-Data re-expression of the
+"""Round-based BFS crawl driver: the Ray-Data-native re-expression of the
 reference's worker/monitor loops (/root/reference/src/Main.hs:22-68,
 Crawl.hs:92-185).
 
-Each round is two task fan-outs with file-partitioned exchange
-(SURVEY.md §3.2, re-planned for fixed-cost rounds):
+Each round is two RAW-Ray-task fan-outs with file-partitioned exchange
+(SURVEY.md §3.2, re-planned in round 2 for minimal per-round fixed cost):
 
     frontier_k/shard_{s}-*.parquet  (written by round k-1, host-hash
         |                            partitioned -> politeness, shuffle 1)
-        v  one fetch task per shard (per-host FIFO, sub-fetch chains,
-        |  docs/order/logs written in place; payloads never move again)
+        v  one fetch TASK per shard (per-host FIFO, sub-fetch chains,
+        |  cookies snapshot in, docs/order/logs written in place)
     round_k/meta/ss_{m}-from_{s}.parquet  (seen-shard partitioned,
         |                                  shuffle 2)
-        v  one combined task per seen shard (terminal mutations, then
-        |  candidate dedup + insertIfNotDone on the shard actor)
-    frontier_{k+1}/shard_{s}-from_{m}.parquet + seen deltas + MANIFEST
+        v  one combined TASK per seen shard (canonical-order terminal
+        |  mutations, candidate dedup + insertIfNotDone, delta checkpoint)
+    frontier_{k+1}/shard_{s}-from_{m}.parquet + MANIFEST
 
-Termination: empty next frontier, or stored-doc quota (Main.hs:61-68), or
-max_rounds.
+Termination: empty next frontier (with no pending injected seeds), or
+stored-doc quota (Main.hs:61-68; quota fires when stored >= limit, matching
+oracle.py's `stored_total >= limit` break), or max_rounds.
 
 Scale discipline: both "shuffles" are explicit hash-partitioned file
 exchanges — the layout a 100 TB crawl needs for checkpoint lineage anyway —
-so a round has no Ray sort and no actor-pool churn; the driver only ever
-sees per-shard counter rows. The ``take_all`` between the stages is the
-fetch-phase barrier that keeps the seen-set frozen while trap-guard
-lookups run (oracle.py's round-snapshot convention). The quota trim of
-the final round is the only payload-sorting step and touches at most
-``limit`` rows.
+so a round has no Ray sort, no Ray Data executor spin-up (round 1's
+dominant fixed cost: two streaming-executor startups per round capped
+scaling efficiency at 0.57; raw ray.remote fan-outs cut the per-round
+driver cost to task dispatch + two small ray.gets), and no actor-pool
+churn. The driver only ever sees per-shard counter rows and the (tiny)
+shared-cookie updates. The ray.get between the stages is the fetch-phase
+barrier that keeps the seen-set frozen while trap-guard lookups run
+(oracle.py's round-snapshot convention) — it is semantically required, not
+an implementation artifact. The quota trim of the crossing round is
+two-pass: keys-only read to find the cutoff, then in-place filtering of
+only the boundary files (payload bytes of fully-kept shards never move).
+
+Runtime control surface (Service.hs:28-83 equivalents): drop files into
+``run_dir/inject/`` between rounds — ``*.urls`` (one seed URL per line,
+addUrl, Service.hs:65-69) and ``*.patterns`` (one include pattern per
+line, addUrlIncludePattern, Service.hs:71-74). They are consumed at the
+next round boundary, revive an exhausted frontier, and are re-applied
+deterministically on resume (consumed files are renamed ``.consumed`` and
+their effects live in the frontier/seen lineage).
 """
 
 from __future__ import annotations
@@ -33,8 +47,10 @@ from __future__ import annotations
 import glob
 import json
 import os
-from dataclasses import dataclass, field
+import shutil
+from dataclasses import dataclass, field, replace
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -44,12 +60,17 @@ from ..fetchsim import FetchPolicy
 from ..state.seen import make_shards
 from ..stages.fetch import (
     FRONTIER_SCHEMA,
-    combined_shard_batch,
-    fetch_shard_batch,
+    combined_shard,
+    fetch_shard,
     write_frontier_shards,
 )
-from ..urlkit import canonicalise, get_domain, url_hash
+from ..urlkit import IncludePatterns, canonicalise, get_domain, url_hash
 from ..webgen import WebSpec
+
+# raw-task wrappers around the stage bodies (one task per shard)
+_fetch_task = ray.remote(fetch_shard)
+_combined_task = ray.remote(combined_shard)
+
 
 @dataclass
 class CrawlConfig:
@@ -81,40 +102,47 @@ class CrawlSummary:
     frontier_exhausted: bool = False
     quota_reached: bool = False
     round_stats: list[dict] = field(default_factory=list)
+    cookies: dict = field(default_factory=dict)
 
 
 def _np_u64(vals):
-    import numpy as np
-
     return np.array(vals, dtype=np.uint64)
 
 
-def _seed_frontier(cfg: CrawlConfig, shards) -> pa.Table:
-    """processNextUrl over the seed list (Initialisation.hs:97-119)."""
+def _insert_new_urls(
+    cfg: CrawlConfig, shards, urls: list[str], policy: FetchPolicy
+) -> list[tuple[str, str, int]]:
+    """processNextUrl over a URL list (Initialisation.hs:97-119 /
+    Service.hs addUrl): canonicalise -> include gate -> insertIfNotDone.
+    Returns surviving (url, host, list_idx) in list order."""
     rows = []
     seen_local = set()
-    for idx, s in enumerate(cfg.seeds):
+    for idx, s in enumerate(urls):
         cu = canonicalise(s)
-        if cu is None or not cfg.policy.include.accepts(cu):
+        if cu is None or not policy.include.accepts(cu):
             continue
         if cu in seen_local:
             continue
         seen_local.add(cu)
-        rows.append((cu, get_domain(cu) or "", "", idx, 0))
-    if rows:
-        by_shard: dict[int, tuple[list, list]] = {}
-        for cu, *_ in rows:
-            h = url_hash(cu)
-            us, hs = by_shard.setdefault(h % cfg.n_seen_shards, ([], []))
-            us.append(cu)
-            hs.append(h)
-        accepted: dict[str, bool] = {}
-        for s, (us, hs) in by_shard.items():
-            for u, ok in zip(
-                us, ray.get(shards[s].check_and_insert.remote(us, _np_u64(hs)))
-            ):
-                accepted[u] = ok
-        rows = [r for r in rows if accepted.get(r[0], False)]
+        rows.append((cu, get_domain(cu) or "", idx))
+    if not rows:
+        return []
+    by_shard: dict[int, tuple[list, list]] = {}
+    for cu, *_ in rows:
+        h = url_hash(cu)
+        us, hs = by_shard.setdefault(h % len(shards), ([], []))
+        us.append(cu)
+        hs.append(h)
+    accepted: dict[str, bool] = {}
+    for s, (us, hs) in by_shard.items():
+        for u, ok in zip(
+            us, ray.get(shards[s].check_and_insert.remote(us, _np_u64(hs)))
+        ):
+            accepted[u] = ok
+    return [r for r in rows if accepted.get(r[0], False)]
+
+
+def _frontier_table(rows: list[tuple[str, str, str, int, int]]) -> pa.Table:
     return pa.table(
         {
             "url": pa.array([r[0] for r in rows], pa.string()),
@@ -131,27 +159,83 @@ def _round_dir(run_dir: str, rnd: int) -> str:
     return os.path.join(run_dir, f"round_{rnd:05d}")
 
 
+def _pending_injections(run_dir: str) -> list[str]:
+    idir = os.path.join(run_dir, "inject")
+    if not os.path.isdir(idir):
+        return []
+    return sorted(
+        f
+        for f in glob.glob(os.path.join(idir, "*"))
+        if f.endswith(".urls") or f.endswith(".patterns")
+    )
+
+
+def _consume_injections(
+    cfg: CrawlConfig, shards, policy: FetchPolicy, frontier_dir: str, tag: int
+) -> tuple[FetchPolicy, int]:
+    """Apply pending inject files: seed URLs enter THIS round's frontier
+    (p_host="" sorts them first, like round-0 seeds); include patterns
+    extend the URL-pattern set for this and later rounds. Consumed files
+    are renamed *.consumed (idempotent across a crash: their effect is
+    already durable in the frontier files + seen deltas)."""
+    n_injected = 0
+    for path in _pending_injections(cfg.run_dir):
+        with open(path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        if path.endswith(".patterns"):
+            inc = policy.include
+            policy = replace(
+                policy,
+                include=IncludePatterns(
+                    url_patterns=inc.url_patterns | frozenset(lines),
+                    domain_patterns=inc.domain_patterns,
+                ),
+            )
+        else:
+            survivors = _insert_new_urls(cfg, shards, lines, policy)
+            if survivors:
+                rows = [
+                    (cu, host, "", idx, 0) for cu, host, idx in survivors
+                ]
+                write_frontier_shards(
+                    _frontier_table(rows),
+                    frontier_dir,
+                    cfg.n_fetch_shards,
+                    f"inject{tag:03d}-{os.path.basename(path).split('.')[0]}",
+                )
+                n_injected += len(rows)
+        os.replace(path, path + ".consumed")
+    return policy, n_injected
+
+
 def crawl(
     cfg: CrawlConfig,
     shards=None,
     start_round: int = 0,
     start_frontier_path: str | None = None,
     stored_so_far: int = 0,
+    cookies0: dict | None = None,
 ) -> CrawlSummary:
     """Run the BFS crawl; resumable via pipelines.checkpoint.resume_crawl."""
     os.makedirs(cfg.run_dir, exist_ok=True)
-    summary = CrawlSummary(run_dir=cfg.run_dir, stored=stored_so_far)
+    summary = CrawlSummary(
+        run_dir=cfg.run_dir, stored=stored_so_far, cookies=dict(cookies0 or {})
+    )
 
     if shards is None:
         shards = make_shards(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
 
+    policy = cfg.policy
     rnd = start_round
     if start_frontier_path is None:
-        frontier_tbl = _seed_frontier(cfg, shards)
+        survivors = _insert_new_urls(cfg, shards, cfg.seeds, policy)
+        rows = [(cu, host, "", idx, 0) for cu, host, idx in survivors]
         frontier_path = os.path.join(cfg.run_dir, "frontier_00000")
         os.makedirs(frontier_path, exist_ok=True)
-        write_frontier_shards(frontier_tbl, frontier_path, cfg.n_fetch_shards, "seeds")
-        frontier_rows = frontier_tbl.num_rows
+        write_frontier_shards(
+            _frontier_table(rows), frontier_path, cfg.n_fetch_shards, "seeds"
+        )
+        frontier_rows = len(rows)
     else:
         frontier_path = start_frontier_path
         frontier_rows = sum(
@@ -161,85 +245,94 @@ def crawl(
 
     import time as _time
 
-    while frontier_rows and rnd < cfg.max_rounds:
+    # crawl-constant context shared by every task of every round: put ONCE
+    # (broadcast), not re-serialized per task
+    def _ctx_refs(pol: FetchPolicy):
+        base = dict(
+            spec=cfg.spec,
+            policy=pol,
+            corpus_path=cfg.corpus_path,
+            seen_handles=shards,
+            n_seen_shards=cfg.n_seen_shards,
+            n_fetch_shards=cfg.n_fetch_shards,
+            run_dir=cfg.run_dir,
+            politeness_delay=cfg.politeness_delay,
+            record_metrics=cfg.record_metrics,
+            verify_payload=cfg.verify_payload,
+        )
+        return ray.put(base)
+
+    ctx_ref = _ctx_refs(policy)
+
+    while rnd < cfg.max_rounds and (
+        frontier_rows or _pending_injections(cfg.run_dir)
+    ):
         _t_round = _time.time()
         rdir = _round_dir(cfg.run_dir, rnd)
-        os.makedirs(rdir, exist_ok=True)
         next_path = os.path.join(cfg.run_dir, f"frontier_{rnd + 1:05d}")
+        # a crashed (uncommitted) attempt at this round may have left
+        # partial artifacts under different names (ADVICE r1): start clean
+        if os.path.isdir(rdir):
+            shutil.rmtree(rdir)
+        if os.path.isdir(next_path):
+            shutil.rmtree(next_path)
+        os.makedirs(rdir, exist_ok=True)
 
-        # --- fetch stage: one task per fetch shard; all exchange through
-        #     partitioned files (see stages/fetch.py module doc) ----------
-        stats1 = (
-            rd.from_items(
-                list(range(cfg.n_fetch_shards)),
-                override_num_blocks=cfg.n_fetch_shards,
-            )
-            .map_batches(
-                fetch_shard_batch,
-                batch_format="pyarrow",
-                fn_kwargs=dict(
-                    spec=cfg.spec,
-                    policy=cfg.policy,
-                    corpus_path=cfg.corpus_path,
-                    seen_handles=shards,
-                    n_seen_shards=cfg.n_seen_shards,
-                    run_dir=cfg.run_dir,
-                    round_idx=rnd,
-                    frontier_dir=frontier_path,
-                    politeness_delay=cfg.politeness_delay,
-                    record_metrics=cfg.record_metrics,
-                    verify_payload=cfg.verify_payload,
-                ),
-            )
-            .take_all()
+        # runtime URL/pattern injection (Service.hs addUrl/addUrlIncludePattern)
+        new_policy, n_injected = _consume_injections(
+            cfg, shards, policy, frontier_path, rnd
         )
+        if new_policy is not policy:
+            policy = new_policy
+            ctx_ref = _ctx_refs(policy)
+        frontier_rows += n_injected
+        if frontier_rows == 0:
+            # injections yielded nothing new: drop the empty round dir
+            shutil.rmtree(rdir, ignore_errors=True)
+            break
+
+        # --- fetch stage: one raw task per fetch shard --------------------
+        csnap = tuple(sorted(summary.cookies.items()))
+        fetch_refs = [
+            _fetch_task.remote(s, ctx_ref, rnd, frontier_path, csnap)
+            for s in range(cfg.n_fetch_shards)
+        ]
+        stats1 = ray.get(fetch_refs)  # fetch-phase barrier (seen frozen)
         _t_fetch = _time.time() - _t_round
         n_proc = sum(r["n_proc"] for r in stats1)
         n_docs = sum(r["n_docs"] for r in stats1)
         summary.fetched += n_proc
 
-        # --- quota accounting (candidates still get inserted below — the
-        #     oracle inserts them before breaking on quota too) -----------
+        # --- quota accounting (oracle.py:157 'stored_total >= limit';
+        #     candidates still get inserted below — the oracle inserts them
+        #     before breaking on quota too) ------------------------------
         stored_before = summary.stored
-        if cfg.limit is not None and summary.stored + n_docs > cfg.limit:
-            _trim_round_docs(cfg, rnd, cfg.limit - summary.stored)
+        new_total = stored_before + n_docs
+        if cfg.limit is not None and new_total >= cfg.limit:
+            if new_total > cfg.limit:
+                _trim_round_docs(cfg, rnd, cfg.limit - stored_before)
             summary.stored = cfg.limit
             summary.quota_reached = True
         else:
-            summary.stored += n_docs
+            summary.stored = new_total
 
-        # --- combined terminal+candidate stage: one task per seen shard;
-        #     the take_all() above is the fetch-phase barrier -------------
-        stats2 = (
-            rd.from_items(
-                list(range(cfg.n_seen_shards)),
-                override_num_blocks=cfg.n_seen_shards,
-            )
-            .map_batches(
-                combined_shard_batch,
-                batch_format="pyarrow",
-                fn_kwargs=dict(
-                    seen_handles=shards,
-                    n_seen_shards=cfg.n_seen_shards,
-                    n_fetch_shards=cfg.n_fetch_shards,
-                    run_dir=cfg.run_dir,
-                    round_idx=rnd,
-                    next_frontier_dir=next_path,
-                ),
-            )
-            .take_all()
-        )
+        # --- shared cookies, applied in canonical (host, seq) order
+        #     (shareCookies at round end — the serialization oracle.py uses)
+        for _host, _seq, name, val in sorted(
+            t for r in stats1 for t in r["shared_cookies"]
+        ):
+            summary.cookies[name] = val
+
+        # --- combined terminal+candidate stage: one raw task per seen shard
+        comb_refs = [
+            _combined_task.remote(m, ctx_ref, rnd, next_path)
+            for m in range(cfg.n_seen_shards)
+        ]
+        stats2 = ray.get(comb_refs)
         frontier_rows = sum(r["n_new"] for r in stats2)
         _t_combined = _time.time() - _t_round - _t_fetch
 
-        # --- seen deltas: each shard writes its own file -----------------
-        ddir = os.path.join(rdir, "seen_delta")
-        os.makedirs(ddir, exist_ok=True)
-        ray.get([s.write_delta.remote(ddir) for s in shards])
-
-        stored_this_round = (
-            n_docs if not summary.quota_reached else max(0, cfg.limit - stored_before)
-        )
+        stored_this_round = summary.stored - stored_before
         stats = {
             "fetched": n_proc,
             "stored": stored_this_round,
@@ -249,7 +342,7 @@ def crawl(
             "sec_round": round(_time.time() - _t_round, 3),
         }
         summary.round_stats.append({"round": rnd, **stats})
-        _commit_round(rdir, rnd, stats, next_path)
+        _commit_round(rdir, rnd, stats, next_path, summary.cookies)
 
         frontier_path = next_path
         rnd += 1
@@ -262,11 +355,14 @@ def crawl(
     return summary
 
 
-def _commit_round(rdir: str, rnd: int, stats: dict, next_frontier_path: str) -> None:
+def _commit_round(
+    rdir: str, rnd: int, stats: dict, next_frontier_path: str, cookies: dict
+) -> None:
     manifest = {
         "round": rnd,
         "stats": stats,
         "next_frontier": next_frontier_path,
+        "cookies": dict(cookies),
         "complete": True,
     }
     tmp = os.path.join(rdir, "MANIFEST.json.tmp")
@@ -277,7 +373,12 @@ def _commit_round(rdir: str, rnd: int, stats: dict, next_frontier_path: str) -> 
 
 def _trim_round_docs(cfg: CrawlConfig, rnd: int, room: int) -> None:
     """Quota cut: keep the canonical-order (host, seq) prefix of this
-    round's stored docs (deterministic version of Crawl.hs:181-183)."""
+    round's stored docs (deterministic version of Crawl.hs:181-183).
+
+    Two-pass and payload-free (VERDICT r1 #7): pass 1 reads ONLY the
+    (host, seq) key columns to rank rows; pass 2 rewrites just the files
+    that straddle the cutoff — fully-kept files are untouched, fully-cut
+    files are removed, so payload bytes of kept shards never move."""
     docs_dir = os.path.join(_round_dir(cfg.run_dir, rnd), "docs")
     if not os.path.isdir(docs_dir):
         return
@@ -288,12 +389,31 @@ def _trim_round_docs(cfg: CrawlConfig, rnd: int, room: int) -> None:
     )
     if not files:
         return
-    table = pa.concat_tables([pq.read_table(f) for f in files])
-    table = table.sort_by([("host", "ascending"), ("seq", "ascending")])
-    kept = table.slice(0, max(0, room))
+    room = max(0, room)
+    # pass 1: keys only
+    hosts, seqs, counts = [], [], []
     for f in files:
-        os.remove(f)
-    pq.write_table(kept, os.path.join(docs_dir, "part-trimmed.parquet"))
+        t = pq.read_table(f, columns=["host", "seq"])
+        hosts.extend(t["host"].to_pylist())
+        seqs.extend(t["seq"].to_pylist())
+        counts.append(t.num_rows)
+    order = sorted(range(len(hosts)), key=lambda i: (hosts[i], seqs[i]))
+    kept = set(order[:room])
+    # pass 2: rewrite only boundary files
+    row_cursor = 0
+    for f, n in zip(files, counts):
+        keep_local = [i - row_cursor for i in range(row_cursor, row_cursor + n) if i in kept]
+        row_cursor += n
+        if len(keep_local) == n:
+            continue  # fully kept: payload untouched
+        if not keep_local:
+            os.remove(f)
+            continue
+        t = pq.read_table(f)
+        t = t.take(pa.array(keep_local, pa.int64()))
+        tmp = f + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, f)
 
 
 def _write_run_manifest(cfg: CrawlConfig, summary: CrawlSummary) -> None:
@@ -303,6 +423,7 @@ def _write_run_manifest(cfg: CrawlConfig, summary: CrawlSummary) -> None:
         "fetched": summary.fetched,
         "quota_reached": summary.quota_reached,
         "frontier_exhausted": summary.frontier_exhausted,
+        "cookies": dict(summary.cookies),
         "round_stats": summary.round_stats,
         "config": {
             "n_pages": cfg.spec.n_pages,

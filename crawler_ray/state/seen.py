@@ -69,6 +69,21 @@ class SeenShardLocal:
             (self.status.get(u, 0) if m else 0) for u, m in zip(urls, maybe)
         ]
 
+    def apply_mutations(self, urls: list[str], hashes: np.ndarray, ops: list[int]) -> None:
+        """Replay per-outcome terminal mutations in the canonical
+        (host, seq, op_idx) order the caller sorted them into (oracle.py's
+        convention; ADVICE r1). op 0 = UNCONDITIONAL delete (S.delete
+        in-progress, Crawl.hs:173 — the oracle pops whatever status the URL
+        has); op COMPLETED/FAILED = set that status."""
+        for u, h, op in zip(urls, hashes, ops):
+            if op == 0:
+                if u in self.status:
+                    del self.status[u]
+                    self._delta.append((u, 0))
+                # filters may keep a stale 'maybe'; the exact dict decides
+            else:
+                self._remember(u, int(h), int(op))
+
     def apply_terminal(self, urls: list[str], hashes: np.ndarray, codes: list[int]) -> None:
         """Completions/failures; completion overwrites in_progress
         (S.insert into completed, Crawl.hs:174). The original frontier URL's

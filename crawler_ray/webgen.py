@@ -105,6 +105,33 @@ class WebSpec:
         """Path prefixes disallowed for this host (empty = allow all)."""
         return ["/private/"] if host_idx % 7 == 3 else []
 
+    # ---- sessions / login (cookie semantics, Crawl.hs:159-167) --------
+    def is_session_host(self, host_idx: int) -> bool:
+        """Hosts whose /private/ pages are login-gated: fetching them
+        without this host's session cookie 404s. The reference's cookie
+        jar + shareCookies (Crawl.hs:104-167) is its login-session
+        mechanism; these hosts make dropping cookies observable."""
+        return host_idx % 5 == 2
+
+    def credentials(self) -> tuple[str, str]:
+        """The (username, password) a form instruction must POST to
+        /submitLogin for the session cookie to be issued (static, like the
+        reference's form-instruction params, eg/form_instructions.cfg)."""
+        return ("admin", f"secret{self.seed}")
+
+    def session_cookie(self, host_idx: int) -> tuple[str, str]:
+        return (f"sess{host_idx}", f"tok{_h(self.seed, 'tok', host_idx) % 10**8}")
+
+    def page_gated(self, i: int, cookies: tuple[tuple[str, str], ...]) -> bool:
+        """True if page ``i`` is session-gated AND ``cookies`` lacks its
+        host's session cookie (the server answers 404)."""
+        h = self.host_of(i)
+        return (
+            self.is_private(i)
+            and self.is_session_host(h)
+            and self.session_cookie(h) not in tuple(cookies)
+        )
+
     # ---- rendering ----------------------------------------------------
     def _style_link(self, i: int, j: int, target: int) -> str:
         """Render outlink j of page i in one of several messy styles; all
@@ -156,20 +183,48 @@ class WebSpec:
     # ---- URL resolution (the inverse of url_of; the 'DNS + HTTP server')
     def resolve(self, url: str) -> tuple[str, int | None]:
         """Resolve a canonical URL to ('page', page_id) | ('submit', page_id)
-        | ('notfound', None)."""
+        | ('notfound', None). Cookie/param-blind view (no session gating,
+        no credential check) — use resolve_request for the full server."""
+        kind, pid, _ = self.resolve_request(url, cookies=None)
+        return (kind, pid)
+
+    def resolve_request(
+        self,
+        url: str,
+        method: str = "GET",
+        params: tuple[tuple[str, str], ...] = (),
+        cookies: tuple[tuple[str, str], ...] | None = (),
+    ) -> tuple[str, int | None, tuple[tuple[str, str], ...]]:
+        """The synthetic HTTP server: (kind, page_id, set_cookies).
+
+        - ``/submitLogin`` with the host's correct credentials in ``params``
+          (urlencoded POST body per Request.hs:33 + DownloadRequest.hs:15-34;
+          query string for GET forms) issues the host's session cookie.
+        - ``/private/`` pages on session hosts 404 unless the request's
+          cookie jar (Request.hs:36 createCookieJar) holds that cookie.
+        - ``cookies=None`` disables gating (spec-introspection view).
+        """
+        no_cookies: tuple[tuple[str, str], ...] = ()
         if not url.startswith("http://host"):
-            return ("notfound", None)
+            return ("notfound", None, no_cookies)
         rest = url[len("http://host") :]
         dot = rest.find(".test/")
         if dot == -1:
-            return ("notfound", None)
+            return ("notfound", None, no_cookies)
         try:
             h = int(rest[:dot])
         except ValueError:
-            return ("notfound", None)
+            return ("notfound", None, no_cookies)
         path = rest[dot + len(".test") :]
         if path == "/submitLogin":
-            return ("submit", _h(self.seed, "submit", h) % self.n_pages)
+            target = _h(self.seed, "submit", h) % self.n_pages
+            set_cookies = no_cookies
+            if self.is_session_host(h):
+                p = dict(params)
+                user, pw = self.credentials()
+                if p.get("username") == user and p.get("password") == pw:
+                    set_cookies = (self.session_cookie(h),)
+            return ("submit", target, set_cookies)
         private = False
         if path.startswith("/private/"):
             private = True
@@ -178,14 +233,16 @@ class WebSpec:
             try:
                 i = int(path[len("/page/") :])
             except ValueError:
-                return ("notfound", None)
+                return ("notfound", None, no_cookies)
             if (
                 0 <= i < self.n_pages
                 and self.host_of(i) == h
                 and self.is_private(i) == private
             ):
-                return ("page", i)
-        return ("notfound", None)
+                if cookies is not None and self.page_gated(i, cookies):
+                    return ("notfound", None, no_cookies)
+                return ("page", i, no_cookies)
+        return ("notfound", None, no_cookies)
 
     # ---- corpus -------------------------------------------------------
     def image_id(self, i: int) -> str:
