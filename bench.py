@@ -116,7 +116,11 @@ def run_bench() -> dict:
     from crawler_ray.webgen import ensure_web_sharded
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    n_pages = min(max(10_000, n_docs * 60), 300_000)
+    # r2: cap raised 300k -> 1M pages. The r2 engine cut per-URL work ~6x,
+    # leaving a 300k-page crawl without enough per-round work to feed 32
+    # cores (round walls were barrier/straggler-bound); 1M pages restores
+    # the work:fixed-cost ratio the 10^10-frontier design point implies.
+    n_pages = min(max(10_000, n_docs * 200), 1_000_000)
     n_hosts = max(100, n_pages // 25)
     N_FETCH_SHARDS = 256
     spec, corpus_path = ensure_web_sharded(n_pages, n_hosts, N_FETCH_SHARDS, seed=42)

@@ -60,8 +60,13 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB; inf for identical images."""
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    """Peak signal-to-noise ratio in dB; inf for identical images.
+
+    Integer arithmetic until the final division: squared diffs and their
+    sum are exact (< 2^53), so values are bit-identical to the float64
+    formulation while avoiding two full-image float copies."""
+    d = a.astype(np.int64) - b
+    mse = float(np.sum(d * d)) / d.size
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
@@ -69,7 +74,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def perceptual_hash(pixels: np.ndarray) -> int:
     """64-bit block-mean hash (8x8 grayscale mean-threshold), signed int64."""
-    g = pixels.astype(np.float64).mean(axis=2)
+    # dtype=float64 accumulates the uint8 values exactly (integer sums
+    # < 2^53): identical values to astype(float64).mean, one copy fewer
+    g = pixels.mean(axis=2, dtype=np.float64)
     h, w = g.shape
     if h % 8 == 0 and w % 8 == 0:
         # vectorized block means (all corpus dims are multiples of 8);
@@ -85,7 +92,5 @@ def perceptual_hash(pixels: np.ndarray) -> int:
                     ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
                 ].mean()
     bits = (blocks > blocks.mean()).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")  # same bit order
     return v - 2**64 if v >= 2**63 else v

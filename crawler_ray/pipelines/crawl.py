@@ -5,15 +5,16 @@ Crawl.hs:92-185).
 Each round is two RAW-Ray-task fan-outs with file-partitioned exchange
 (SURVEY.md §3.2, re-planned in round 2 for minimal per-round fixed cost):
 
-    frontier_k/shard_{s}-*.parquet  (written by round k-1, host-hash
-        |                            partitioned -> politeness, shuffle 1)
+    frontier_k/*.parquet  (written by round k-1's combined tasks, one
+        |                  file each, row-groups partitioned by host-hash
+        |                  fetch shard -> politeness, shuffle 1)
         v  one fetch TASK per shard (per-host FIFO, sub-fetch chains,
         |  cookies snapshot in, docs/order/logs written in place)
-    round_k/meta/ss_{m}-from_{s}.parquet  (seen-shard partitioned,
-        |                                  shuffle 2)
+    per-seen-shard Arrow meta tables via Ray multi-return (object-store
+        |  exchange, shuffle 2 — no files; see stages/fetch.py)
         v  one combined TASK per seen shard (canonical-order terminal
         |  mutations, candidate dedup + insertIfNotDone, delta checkpoint)
-    frontier_{k+1}/shard_{s}-from_{m}.parquet + MANIFEST
+    frontier_{k+1}/from_{m}.parquet + MANIFEST
 
 Termination: empty next frontier (with no pending injected seeds), or
 stored-doc quota (Main.hs:61-68; quota fires when stored >= limit, matching
@@ -60,16 +61,17 @@ from ..fetchsim import FetchPolicy
 from ..state.seen import make_shards
 from ..stages.fetch import (
     FRONTIER_SCHEMA,
-    combined_shard,
     fetch_shard,
+    write_docs_shard,
     write_frontier_shards,
 )
 from ..urlkit import IncludePatterns, canonicalise, get_domain, url_hash
 from ..webgen import WebSpec
 
-# raw-task wrappers around the stage bodies (one task per shard)
+# raw-task wrappers around the stage bodies (one task per shard); the
+# combined stage runs as SeenShard.combined_round actor calls
 _fetch_task = ray.remote(fetch_shard)
-_combined_task = ray.remote(combined_shard)
+_docs_task = ray.remote(write_docs_shard)
 
 
 @dataclass
@@ -263,6 +265,13 @@ def crawl(
         return ray.put(base)
 
     ctx_ref = _ctx_refs(policy)
+    # previous round's combined multi-returns: per seen shard, [stats_ref,
+    # frontier_tbl_ref(shard 0), ..., frontier_tbl_ref(shard S-1)]. The
+    # happy-path frontier exchange rides the object store; the parquet
+    # frontier files written alongside are resume lineage only.
+    prev_comb_rets: list | None = None
+    # (rdir, rnd, stats, next_path, cookies, docs_refs) awaiting manifest
+    pending_commit: tuple | None = None
 
     while rnd < cfg.max_rounds and (
         frontier_rows or _pending_injections(cfg.run_dir)
@@ -286,18 +295,73 @@ def crawl(
             policy = new_policy
             ctx_ref = _ctx_refs(policy)
         frontier_rows += n_injected
+        if n_injected:
+            # injected rows exist only in the frontier files: fall back to
+            # the file path for this round so fetch tasks see them
+            prev_comb_rets = None
         if frontier_rows == 0:
             # injections yielded nothing new: drop the empty round dir
             shutil.rmtree(rdir, ignore_errors=True)
             break
 
-        # --- fetch stage: one raw task per fetch shard --------------------
+        # --- fetch stage: one raw task per fetch shard. Each task has
+        #     1 + n_seen_shards returns: stats, then one meta table per
+        #     seen shard (the fetch->combined exchange, via object store)
         csnap = tuple(sorted(summary.cookies.items()))
-        fetch_refs = [
-            _fetch_task.remote(s, ctx_ref, rnd, frontier_path, csnap)
-            for s in range(cfg.n_fetch_shards)
+        # BFS-drain rounds have tiny frontiers: fold shards into fewer
+        # tasks (~400 URLs each) so a 50-URL round costs a handful of
+        # task dispatches, not n_fetch_shards x 2. Folded rounds read the
+        # frontier lineage files (one tiny read per shard) instead of the
+        # per-shard object-store refs. Grouping is a pure function of
+        # frontier_rows, so reruns and resumes regroup identically.
+        n_groups = min(cfg.n_fetch_shards, max(1, frontier_rows // 400))
+        if n_groups == cfg.n_fetch_shards:
+            task_shards = [[s] for s in range(cfg.n_fetch_shards)]
+        else:
+            task_shards = [
+                list(range(g, cfg.n_fetch_shards, n_groups))
+                for g in range(n_groups)
+            ]
+            prev_comb_rets = None  # folded tasks use the file fallback
+        fetch_rets = [
+            _fetch_task.options(num_returns=2 + cfg.n_seen_shards).remote(
+                grp if len(grp) > 1 else grp[0],
+                ctx_ref, rnd, frontier_path, csnap,
+                *(
+                    [r[1 + grp[0]] for r in prev_comb_rets]
+                    if prev_comb_rets is not None
+                    else []
+                ),
+            )
+            for grp in task_shards
         ]
-        stats1 = ray.get(fetch_refs)  # fetch-phase barrier (seen frozen)
+        # payload persistence (corpus take + verify + docs parquet): one
+        # task per fetch task, dependent ONLY on that task's fetch return
+        # — runs under the fetch straggler's tail, the combined phase, and
+        # the next round's fetch; the round commits (below) only after
+        # these are durable
+        docs_refs = [
+            _docs_task.remote(grp[0], ctx_ref, rnd, fetch_rets[g][1])
+            for g, grp in enumerate(task_shards)
+        ]
+        # --- combined terminal+candidate stage: one combined_round actor
+        #     call per seen shard, fed every fetch task's meta-list ref.
+        #     Submitted immediately — those object refs ARE the fetch-phase
+        #     barrier (no combined call can start before every fetch task
+        #     finished, so the seen set stays frozen during the fetch
+        #     phase), and the driver's stats processing below overlaps
+        #     with combined execution instead of gating it.
+        comb_rets = [
+            shards[m].combined_round.options(
+                num_returns=1 + cfg.n_fetch_shards
+            ).remote(
+                cfg.n_fetch_shards, cfg.run_dir, rnd, next_path,
+                *[r[2 + m] for r in fetch_rets],
+            )
+            for m in range(cfg.n_seen_shards)
+        ]
+
+        stats1 = ray.get([r[0] for r in fetch_rets])
         _t_fetch = _time.time() - _t_round
         n_proc = sum(r["n_proc"] for r in stats1)
         n_docs = sum(r["n_docs"] for r in stats1)
@@ -310,6 +374,7 @@ def crawl(
         new_total = stored_before + n_docs
         if cfg.limit is not None and new_total >= cfg.limit:
             if new_total > cfg.limit:
+                ray.get(docs_refs)  # trim needs this round's docs durable
                 _trim_round_docs(cfg, rnd, cfg.limit - stored_before)
             summary.stored = cfg.limit
             summary.quota_reached = True
@@ -323,16 +388,14 @@ def crawl(
         ):
             summary.cookies[name] = val
 
-        # --- combined terminal+candidate stage: one raw task per seen shard
-        comb_refs = [
-            _combined_task.remote(m, ctx_ref, rnd, next_path)
-            for m in range(cfg.n_seen_shards)
-        ]
-        stats2 = ray.get(comb_refs)
+        stats2 = ray.get([r[0] for r in comb_rets])
         frontier_rows = sum(r["n_new"] for r in stats2)
+        prev_comb_rets = comb_rets
         _t_combined = _time.time() - _t_round - _t_fetch
 
         stored_this_round = summary.stored - stored_before
+        f_secs = [r["sec"] for r in stats1]
+        c_secs = [r["sec"] for r in stats2]
         stats = {
             "fetched": n_proc,
             "stored": stored_this_round,
@@ -340,14 +403,55 @@ def crawl(
             "sec_fetch": round(_t_fetch, 3),
             "sec_combined": round(_t_combined, 3),
             "sec_round": round(_time.time() - _t_round, 3),
+            # straggler diagnostics: per-task wall time sum/max per stage
+            "fetch_task_sum": round(sum(f_secs), 3),
+            "fetch_task_max": round(max(f_secs), 3),
+            "comb_task_sum": round(sum(c_secs), 3),
+            "comb_task_max": round(max(c_secs), 3),
+            "fetch_phases": {
+                k: round(sum(r.get(k, 0.0) for r in stats1), 2)
+                for k in ("t_read", "t_proc", "t_docs", "t_meta", "t_guard", "n_guard")
+            },
+            "fetch_spans": [
+                (round(r["t0"], 3), round(r["t1"], 3)) for r in stats1
+            ],
+            "comb_spans": [
+                (round(r["t0"], 3), round(r["t1"], 3)) for r in stats2
+            ],
+            "comb_phases": {
+                k: round(sum(r.get(k, 0.0) for r in stats2), 2)
+                for k in ("t_read", "t_mut", "t_cand", "t_write", "t_delta")
+            },
         }
         summary.round_stats.append({"round": rnd, **stats})
-        _commit_round(rdir, rnd, stats, next_path, summary.cookies)
+        # commit of the PREVIOUS round: its docs tasks finished while this
+        # round ran; a crash before a commit just reruns that round from
+        # its frontier files (pipelines/checkpoint.py), so deferring the
+        # manifest one round keeps resume exact while letting payload
+        # writes overlap execution
+        if pending_commit is not None:
+            p_rdir, p_rnd, p_stats, p_next, p_cookies, p_docs = pending_commit
+            dstats = ray.get(p_docs)
+            p_stats["docs_spans"] = [
+                (round(d["t0"], 3), round(d["t1"], 3)) for d in dstats
+            ]
+            _commit_round(p_rdir, p_rnd, p_stats, p_next, p_cookies)
+        pending_commit = (
+            rdir, rnd, stats, next_path, dict(summary.cookies), docs_refs
+        )
 
         frontier_path = next_path
         rnd += 1
         if summary.quota_reached:
             break
+
+    if pending_commit is not None:
+        p_rdir, p_rnd, p_stats, p_next, p_cookies, p_docs = pending_commit
+        dstats = ray.get(p_docs)
+        p_stats["docs_spans"] = [
+            (round(d["t0"], 3), round(d["t1"], 3)) for d in dstats
+        ]
+        _commit_round(p_rdir, p_rnd, p_stats, p_next, p_cookies)
 
     summary.rounds = rnd - start_round
     summary.frontier_exhausted = frontier_rows == 0

@@ -11,17 +11,28 @@ per-host FIFO discovery order; an optional ``politeness_delay`` enforces a
 min interval between fetches to the same host (the reference has no timer;
 concurrency cap 1 is its only budget).
 
-Data exchange is FILE-PARTITIONED rather than sort-shuffled: the fetch task
-for shard ``s`` reads ``frontier_k/shard_{s}-*.parquet`` (written by the
-previous round's combined stage), writes its stored docs / order / logs /
-metrics partition files, and writes its metadata rows partitioned by
-seen-set shard (``meta/ss_{m}-from_{s}.parquet``). Each exchange file is
-also checkpoint lineage — the explicit-shuffle-through-storage pattern a
-100 TB crawl needs anyway for resume, and it costs no Ray sort. Round-2
-change: the per-round fan-outs are plain ``@ray.remote`` tasks (one per
-shard) instead of Ray Data executions — the streaming-executor startup
-(~seconds × 2 executions × rounds) was the dominant unscalable cost behind
-the round-1 scaling-efficiency miss (VERDICT r1 #1); raw tasks cut the
+Data exchange, round-2 layout (re-planned after measuring round 1):
+
+- frontier (combined -> next round's fetch; ALSO the resume lineage):
+  ONE parquet file per combined task, row-group-aligned on a ``shard``
+  column — fetch task ``s`` prunes to its rows via row-group statistics.
+  The round-1 layout (one file per (fetch shard, seen shard) pair, ~8k
+  tiny ext4 creates+renames per round) cost more core-seconds than the
+  crawl's real work and caused journal-flush stalls.
+- meta (fetch -> combined, intra-round only): Arrow tables through the
+  OBJECT STORE — fetch task ``s`` returns (stats, [meta_ss0 ..
+  meta_ss{M-1}]) and combined actor ``m`` receives every fetch task's
+  list ref, slicing element m zero-copy. No files: resume reruns an
+  uncommitted round from its frontier files, so meta needs no
+  durability. One list object per task keeps plasma object count at
+  O(shards) per round, not O(shards x seen shards).
+- docs / order / logs / metrics / seen deltas: per-shard partition files
+  per round (checkpoint lineage + the payload sink).
+
+The per-round fan-outs are plain ``@ray.remote`` tasks (one per shard)
+instead of Ray Data executions — the streaming-executor startup (~seconds
+x 2 executions x rounds) was the dominant unscalable cost behind the
+round-1 scaling-efficiency miss (VERDICT r1 #1); raw tasks cut the
 per-round fixed cost to task dispatch (~ms).
 
 Seen-set mutation convention (oracle.py; ADVICE r1 canonical-order fix):
@@ -95,39 +106,110 @@ def _atomic_write(path: str, table: pa.Table) -> None:
     os.replace(tmp, path)
 
 
+def partition_frontier(table: pa.Table, n_fetch_shards: int) -> list[pa.Table]:
+    """Split frontier rows into one table per host-hash fetch shard."""
+    hosts = table["host"].to_pylist()
+    by_shard: dict[int, list[int]] = {}
+    for i, h in enumerate(hosts):
+        by_shard.setdefault(url_hash(h) % n_fetch_shards, []).append(i)
+    empty = FRONTIER_SCHEMA.empty_table()
+    return [
+        table.take(pa.array(by_shard[s], pa.int64())) if s in by_shard else empty
+        for s in range(n_fetch_shards)
+    ]
+
+
 def write_frontier_shards(
     table: pa.Table, frontier_dir: str, n_fetch_shards: int, origin: str
 ) -> None:
-    """Partition frontier rows by host-hash fetch shard into files the next
-    round's fetch tasks read directly (the explicit 'shuffle 1')."""
+    """Partition frontier rows by host-hash fetch shard (the explicit
+    'shuffle 1') into ONE file per writer, row-group-aligned per shard.
+
+    Round-2 layout change: one file per (origin) with a ``shard`` column
+    and one parquet row group per shard, instead of one file per (shard,
+    origin) pair — measured at sandbox scale, the old layout's
+    n_fetch_shards x n_seen_shards tiny files per round (~8k creates +
+    renames on ext4) cost more core-seconds than the crawl's real work and
+    triggered journal-flush stalls. Fetch task ``s`` prunes to its rows
+    via row-group statistics (filters=[('shard','=',s)])."""
     os.makedirs(frontier_dir, exist_ok=True)
     hosts = table["host"].to_pylist()
     shard_of = [url_hash(h) % n_fetch_shards for h in hosts]
     by_shard: dict[int, list[int]] = {}
     for i, s in enumerate(shard_of):
         by_shard.setdefault(s, []).append(i)
-    for s, idxs in by_shard.items():
-        _atomic_write(
-            os.path.join(frontier_dir, f"shard_{s:05d}-{origin}.parquet"),
-            table.take(pa.array(idxs, pa.int64())),
+    path = os.path.join(frontier_dir, f"{origin}.parquet")
+    tmp = path + ".tmp"
+    schema = table.schema.append(pa.field("shard", pa.int32()))
+    writer = pq.ParquetWriter(tmp, schema)
+    for s in sorted(by_shard):
+        idxs = by_shard[s]
+        sub = table.take(pa.array(idxs, pa.int64()))
+        sub = sub.append_column(
+            "shard", pa.array([s] * len(idxs), pa.int32())
         )
+        writer.write_table(sub)  # one row group per shard -> stat pruning
+    writer.close()
+    os.replace(tmp, path)
+
+
+def read_frontier_shard(frontier_dir: str, shard: int) -> pa.Table | None:
+    """Rows of one fetch shard across all frontier files (row-group
+    pruned via the shard column's statistics)."""
+    files = sorted(glob.glob(os.path.join(frontier_dir, "*.parquet")))
+    parts = []
+    for f in files:
+        t = pq.read_table(f, filters=[("shard", "=", shard)])
+        if t.num_rows:
+            parts.append(t.drop_columns(["shard"]))
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
 
 
 def fetch_shard(
-    shard: int,
+    shards_of_task,
     ctx: dict,
     round_idx: int,
     frontier_dir: str,
     cookies: tuple,
+    *frontier_parts: pa.Table,
 ) -> dict:
-    """Process ONE fetch shard's frontier rows (raw Ray task body).
+    """Process one GROUP of fetch shards' frontier rows (raw Ray task
+    body). ``shards_of_task`` is an int (one shard — the usual case) or a
+    list of shard ids: when a BFS-drain round's frontier is tiny, the
+    driver folds many shards into few tasks so per-round latency is task
+    dispatch for a handful of tasks, not n_fetch_shards. Folding is safe
+    for politeness and determinism: hosts never span shards, per-host
+    FIFO order and seq assignment are per-host, and outputs are keyed by
+    the group's lead shard.
 
     ``ctx`` is the crawl-constant context (spec, policy, corpus_path,
     seen_handles, shard counts, run_dir, flags) put to the object store
     ONCE per crawl and shared by every task of every round. ``cookies`` is
-    the round-start cookie snapshot (Crawl.hs:106). Returns
-    {shard, n_proc, n_docs, shared_cookies: [(host, seq, name, value)]}.
+    the round-start cookie snapshot (Crawl.hs:106).
+
+    ``frontier_parts``, when given, are THIS shard's frontier rows: the
+    (1+shard)-th multi-return of each previous-round combined_round actor
+    call, zero-copy through the object store. When absent (round 0 after
+    seeding, or the first round of a resume), the shard's rows are read
+    from the frontier_dir lineage files instead.
+
+    Returns a (1 + n_seen_shards)-tuple for Ray multi-return: a stats
+    dict {shard, n_proc, n_docs, shared_cookies, timings}, then one
+    META_SCHEMA table per seen shard (combined actor m receives exactly
+    the (1+m)-th return of every fetch task — per-consumer granularity
+    matters: a consumer deserializes only its own slice, never the whole
+    exchange). The fetch->combined exchange travels through the OBJECT
+    STORE — it is intra-round intermediate state, not checkpoint lineage
+    (resume reruns the round from the frontier files), and as files it
+    cost more than the crawl's real work.
     """
+    _t_task = time.time()
+    shards = (
+        [shards_of_task] if isinstance(shards_of_task, int) else list(shards_of_task)
+    )
+    shard = shards[0]  # group lead: names this task's partition files
     spec = ctx["spec"]
     policy = ctx["policy"]
     seen_handles = ctx["seen_handles"]
@@ -135,34 +217,89 @@ def fetch_shard(
     run_dir = ctx["run_dir"]
     politeness_delay = ctx["politeness_delay"]
     rdir = os.path.join(run_dir, f"round_{round_idx:05d}")
-    docs_dir = os.path.join(rdir, "docs")
     order_dir = os.path.join(rdir, "order")
     logs_dir = os.path.join(rdir, "logs")
-    meta_dir = os.path.join(rdir, "meta")
     metrics_dir = os.path.join(rdir, "metrics")
-    for d in (docs_dir, order_dir, logs_dir, meta_dir):
+    for d in (order_dir, logs_dir):
         os.makedirs(d, exist_ok=True)
 
-    corpus = _corpus(ctx["corpus_path"])
+    def _docs_table(docs: list[dict]) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array([d["url"] for d in docs], pa.string()),
+                "redirect_chain": pa.array(
+                    [d["redirect_chain"] for d in docs], pa.list_(pa.string())
+                ),
+                "content": pa.array([d["content"] for d in docs], pa.binary()),
+                "worker_id": pa.array([d["worker_id"] for d in docs], pa.string()),
+                "round": pa.array([d["round"] for d in docs], pa.int32()),
+                "host": pa.array([d["host"] for d in docs], pa.string()),
+                "seq": pa.array([d["seq"] for d in docs], pa.int64()),
+                "hops": pa.array([d["hops"] for d in docs], pa.int32()),
+                "page_id": pa.array([d["page_id"] for d in docs], pa.int64()),
+            }
+        )
+
+    def _returns(stats: dict, docs: list[dict], meta_rows: list[tuple]):
+        by_ss: dict[int, list[int]] = {}
+        for j, row in enumerate(meta_rows):
+            by_ss.setdefault(url_hash(row[1]) % n_seen_shards, []).append(j)
+        tables = []
+        for m in range(n_seen_shards):
+            idxs = by_ss.get(m)
+            if not idxs:
+                tables.append(META_SCHEMA.empty_table())
+                continue
+            rows = [meta_rows[j] for j in idxs]
+            cols = list(zip(*rows))
+            tables.append(
+                pa.table(
+                    {
+                        f.name: pa.array(list(c), f.type)
+                        for f, c in zip(META_SCHEMA, cols)
+                    }
+                )
+            )
+        return (stats, _docs_table(docs), *tables)
+
     guard_cache: dict[str, bool] = {}
+    guard_wait = [0.0, 0]  # accumulated blocking time, call count
 
     def is_done(url: str) -> bool:
         hit = guard_cache.get(url)
         if hit is not None:
             return hit
         h = url_hash(url)
+        _t0 = time.time()
         [code] = ray.get(
             seen_handles[h % n_seen_shards].status_many.remote(
                 [url], np.array([h], dtype=np.uint64)
             )
         )
+        guard_wait[0] += time.time() - _t0
+        guard_wait[1] += 1
         guard_cache[url] = done = code != 0
         return done
 
-    files = sorted(glob.glob(os.path.join(frontier_dir, f"shard_{shard:05d}-*.parquet")))
-    if not files:
-        return {"shard": shard, "n_proc": 0, "n_docs": 0, "shared_cookies": []}
-    group = pa.concat_tables([pq.read_table(f) for f in files])
+    if frontier_parts:
+        mine = [t for t in frontier_parts if t.num_rows]
+        group = pa.concat_tables(mine) if mine else None
+    else:
+        parts = [read_frontier_shard(frontier_dir, sh) for sh in shards]
+        parts = [p for p in parts if p is not None]
+        group = pa.concat_tables(parts) if parts else None
+    if group is None:
+        return _returns(
+            {
+                "shard": shard, "n_proc": 0, "n_docs": 0,
+                "shared_cookies": [], "sec": time.time() - _t_task,
+                "t_read": 0.0, "t_proc": 0.0, "t_docs": 0.0, "t_meta": 0.0,
+                "t_guard": 0.0, "n_guard": 0, "t0": _t_task, "t1": time.time(),
+            },
+            [],
+            [],
+        )
+    _t_read = time.time() - _t_task
 
     # per-host FIFO: order by (host, candidate key); assign per-host seq
     host_col = group["host"].to_pylist()
@@ -174,6 +311,38 @@ def fetch_shard(
         range(group.num_rows),
         key=lambda i: (host_col[i], _ph[i], _ps[i], _li[i]),
     )
+
+    # --- trap-guard prefetch: the meta-refresh targets this shard will
+    #     query are predictable from the spec (page kind + meta target;
+    #     one redirect hop deep). Resolve them in ONE async status_many
+    #     sweep per seen shard instead of a ~4.5 ms blocking actor
+    #     round-trip per URL inside the fetch loop (measured 130 core-s
+    #     per sf0.1 crawl, 26% of fetch work). Any unpredicted target
+    #     (direction/form chains) still falls back to the blocking path.
+    guard_urls: set[str] = set()
+    for i in order:
+        kind, pid = spec.resolve(url_col[i])
+        if pid is None:
+            continue
+        k = spec.kind_of(pid)
+        if k == "redirect":
+            _, pid = spec.redirect_chain(pid)
+            k = spec.kind_of(pid)
+        if k == "meta_refresh":
+            guard_urls.add(spec.url_of(spec.meta_target(pid)))
+    if guard_urls:
+        by_ss_urls: dict[int, list[str]] = {}
+        for u in guard_urls:
+            by_ss_urls.setdefault(url_hash(u) % n_seen_shards, []).append(u)
+        refs = {
+            m: seen_handles[m].status_many.remote(
+                us, np.array([url_hash(u) for u in us], dtype=np.uint64)
+            )
+            for m, us in by_ss_urls.items()
+        }
+        for m, ref in refs.items():
+            for u, code in zip(by_ss_urls[m], ray.get(ref)):
+                guard_cache[u] = code != 0
 
     meta_rows: list[tuple] = []  # rows of META_SCHEMA
     docs: list[dict] = []
@@ -234,8 +403,7 @@ def fetch_shard(
             log_rows.append((url, f"error: {out.reason}"))
         # 'excluded' / 'meta_trap': stays in_progress; nothing emitted
 
-    if docs:
-        _write_docs(docs_dir, shard, docs, spec, corpus, ctx["verify_payload"])
+    _t_proc = time.time() - _t_task - _t_read
     _atomic_write(
         os.path.join(order_dir, f"part-{shard:05d}.parquet"),
         pa.table(
@@ -272,52 +440,75 @@ def fetch_shard(
             ),
         )
 
-    # meta rows partitioned by seen shard -> files for the combined stage
-    by_ss: dict[int, list[int]] = {}
-    for j, row in enumerate(meta_rows):
-        by_ss.setdefault(url_hash(row[1]) % n_seen_shards, []).append(j)
-    for m, idxs in by_ss.items():
-        rows = [meta_rows[j] for j in idxs]
-        cols = list(zip(*rows))
-        _atomic_write(
-            os.path.join(meta_dir, f"ss_{m:05d}-from_{shard:05d}.parquet"),
-            pa.table(
-                {f.name: pa.array(list(c), f.type) for f, c in zip(META_SCHEMA, cols)}
-            ),
-        )
+    _t_docs = time.time() - _t_task - _t_read - _t_proc
+    # docs go back as an Arrow table (payload attach + verify + write run
+    # in a separate per-shard task that overlaps the combined phase and
+    # the next round's fetch); meta rows partition into per-seen-shard
+    # Arrow returns
+    return _returns(
+        {
+            "shard": shard,
+            "n_proc": len(order_rows),
+            "n_docs": len(docs),
+            "shared_cookies": shared_cookies,
+            "sec": time.time() - _t_task,
+            "t_read": _t_read,
+            "t_proc": _t_proc,
+            "t_docs": _t_docs,
+            "t_meta": 0.0,
+            "t_guard": guard_wait[0],
+            "n_guard": guard_wait[1],
+            "t0": _t_task,
+            "t1": time.time(),
+        },
+        docs,
+        meta_rows,
+    )
 
-    return {
-        "shard": shard,
-        "n_proc": len(order_rows),
-        "n_docs": len(docs),
-        "shared_cookies": shared_cookies,
-    }
 
-
-def _write_docs(
-    docs_dir: str, shard: int, docs: list[dict], spec, corpus, verify_payload: bool
-) -> None:
+def write_docs_shard(
+    shard: int,
+    ctx: dict,
+    round_idx: int,
+    docs_tbl: pa.Table,
+) -> int:
     """Attach image payload columns (one bulk corpus take — the J4 index
-    lookup, SURVEY.md §2.5) and write this shard's partition file. With
-    ``verify_payload`` the per-row invariant from BASELINE.json input_hint
-    runs inline: decoded pixels vs ground truth (exact for lossless, PSNR
-    >= 40 dB for lossy), caption equality, phash equality."""
+    lookup, SURVEY.md §2.5) and write this shard's docs partition file.
+    Runs as its own raw task per shard, dependent only on that shard's
+    fetch return — so payload persistence overlaps the combined phase and
+    the next round's fetch instead of sitting on the round barrier.
+
+    With ``verify_payload`` the per-row invariant from BASELINE.json
+    input_hint runs inline: decoded pixels vs ground truth (exact for
+    lossless, PSNR >= 40 dB for lossy), caption equality, phash equality.
+    """
+    _t0 = time.time()
+    if docs_tbl.num_rows == 0:
+        return {"n": 0, "t0": _t0, "t1": time.time()}
     from ..codecs import decode_image, perceptual_hash, psnr
 
-    ids = [spec.image_id(d["page_id"]) for d in docs]
+    spec = ctx["spec"]
+    corpus = _corpus(ctx["corpus_path"])
+    docs_dir = os.path.join(
+        ctx["run_dir"], f"round_{round_idx:05d}", "docs"
+    )
+    os.makedirs(docs_dir, exist_ok=True)
+
+    page_ids = docs_tbl["page_id"].to_pylist()
+    ids = [spec.image_id(p) for p in page_ids]
     payload = corpus.take(ids)
     ok_col = None
-    if verify_payload:
+    if ctx["verify_payload"]:
         oks = []
-        for d, data, cap, ph, fmt in zip(
-            docs,
+        for pid, data, cap, ph, fmt in zip(
+            page_ids,
             payload["bytes"].to_pylist(),
             payload["caption"].to_pylist(),
             payload["phash"].to_pylist(),
             payload["fmt"].to_pylist(),
         ):
             px = decode_image(data)
-            truth = spec.pixels_of(d["page_id"])
+            truth = spec.pixels_of(pid)
             if fmt == "jpeg":
                 pix_ok = psnr(truth, px) >= 40.0
             else:
@@ -325,106 +516,129 @@ def _write_docs(
             oks.append(
                 int(
                     pix_ok
-                    and cap == spec.caption_of(d["page_id"])
+                    and cap == spec.caption_of(pid)
                     and perceptual_hash(truth) == ph
                 )
             )
         ok_col = pa.array(oks, pa.int8())
-    table = pa.table(
-        {
-            "url": pa.array([d["url"] for d in docs], pa.string()),
-            "redirect_chain": pa.array(
-                [d["redirect_chain"] for d in docs], pa.list_(pa.string())
-            ),
-            "content": pa.array([d["content"] for d in docs], pa.binary()),
-            "worker_id": pa.array([d["worker_id"] for d in docs], pa.string()),
-            "round": pa.array([d["round"] for d in docs], pa.int32()),
-            "host": pa.array([d["host"] for d in docs], pa.string()),
-            "seq": pa.array([d["seq"] for d in docs], pa.int64()),
-            "hops": pa.array([d["hops"] for d in docs], pa.int32()),
-            "image_id": payload["image_id"],
-            "image_bytes": payload["bytes"],
-            "caption": payload["caption"],
-            "w": payload["w"],
-            "h": payload["h"],
-            "fmt": payload["fmt"],
-            "phash": payload["phash"],
-        }
-    )
+    table = docs_tbl.drop_columns(["page_id"])
+    table = table.append_column("image_id", payload["image_id"])
+    table = table.append_column("image_bytes", payload["bytes"])
+    table = table.append_column("caption", payload["caption"])
+    table = table.append_column("w", payload["w"])
+    table = table.append_column("h", payload["h"])
+    table = table.append_column("fmt", payload["fmt"])
+    table = table.append_column("phash", payload["phash"])
     if ok_col is not None:
         table = table.append_column("payload_ok", ok_col)
     _atomic_write(os.path.join(docs_dir, f"part-{shard:05d}.parquet"), table)
+    return {"n": table.num_rows, "t0": _t0, "t1": time.time()}
 
 
-def combined_shard(
-    ss: int,
-    ctx: dict,
+def combined_round(
+    state,
+    n_fetch_shards: int,
+    run_dir: str,
     round_idx: int,
     next_frontier_dir: str,
-) -> dict:
-    """Terminal + candidate phase for ONE seen shard (raw Ray task body).
+    metas,
+) -> tuple:
+    """Terminal + candidate phase for ONE seen shard -- runs INSIDE the
+    shard's actor process (``state`` is its SeenShardLocal; mutations are
+    direct method calls: no blocked task slots, no actor round trips).
 
-    Per-URL mutation ordering per oracle.py's convention: ALL terminal
-    mutations replay in canonical (host, seq, op_idx) order (ADVICE r1 —
-    releases interleave with completions exactly as the oracle pops), then
-    candidate insertIfNotDone with within-round dedup by minimal discovery
-    key. Survivors are written as next-round frontier files partitioned by
-    fetch shard; the shard's seen-delta checkpoint file is written LAST so
-    a committed round's delta reflects every mutation of the round.
+    ``metas`` are this shard's META_SCHEMA tables, one per fetch task
+    (the matching multi-return of each), delivered zero-copy through the
+    object store. Per-URL mutation ordering per oracle.py's convention:
+    ALL terminal mutations replay in canonical (host, seq, op_idx) order
+    (ADVICE r1 -- releases interleave with completions exactly as the
+    oracle pops), then candidate insertIfNotDone with within-round dedup
+    by minimal discovery key.
+
+    Returns (stats dict, *frontier partitions) -- one FRONTIER_SCHEMA
+    table per fetch shard, next round's object-store exchange at
+    per-consumer granularity (fetch task s takes only its own return).
+    Survivors are ALSO written as ONE lineage frontier file
+    (row-group-partitioned by fetch shard) -- read only on resume. The
+    shard's seen-delta checkpoint file is written LAST so a committed
+    round's delta reflects every mutation of the round.
     """
-    seen_handles = ctx["seen_handles"]
-    n_fetch_shards = ctx["n_fetch_shards"]
-    run_dir = ctx["run_dir"]
+    _t_task = time.time()
+    ss = state.shard_id
     rdir = os.path.join(run_dir, f"round_{round_idx:05d}")
-    meta_dir = os.path.join(rdir, "meta")
     delta_dir = os.path.join(rdir, "seen_delta")
     os.makedirs(next_frontier_dir, exist_ok=True)
     os.makedirs(delta_dir, exist_ok=True)
-    handle = seen_handles[ss]
 
-    files = sorted(glob.glob(os.path.join(meta_dir, f"ss_{ss:05d}-from_*.parquet")))
+    nonempty = [m for m in metas if m.num_rows]
     n_new = 0
-    if files:
-        t = pa.concat_tables([pq.read_table(f) for f in files])
-        kinds = t["kind"].to_pylist()
-        urls = t["url"].to_pylist()
-        ph_col = t["p_host"].to_pylist()
-        ps_col = t["p_seq"].to_pylist()
-        li_col = t["link_idx"].to_pylist()
-        op_col = t["op"].to_pylist()
+    frontier_parts = None
+    prof = {"t_read": 0.0, "t_mut": 0.0, "t_cand": 0.0, "t_write": 0.0, "t_delta": 0.0}
+    if nonempty:
+        import pandas as pd
 
-        mut_idx = [i for i, k in enumerate(kinds) if k == "mut"]
-        mut_idx.sort(key=lambda i: (ph_col[i], ps_col[i], li_col[i]))
-        if mut_idx:
-            mu = [urls[i] for i in mut_idx]
+        t = pa.concat_tables(nonempty)
+        prof["t_read"] = time.time() - _t_task
+        is_mut = pa.compute.equal(t["kind"], "mut").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        # vectorized canonical (p_host, p_seq, link_idx) order: factorize
+        # p_host with sort=True so integer codes preserve its lex order,
+        # then one lexsort — only the PER-URL relative order is semantic
+        # (mutations of distinct URLs commute), and this reproduces the
+        # oracle's exactly
+        ph_codes, _ = pd.factorize(
+            t["p_host"].combine_chunks().to_numpy(zero_copy_only=False),
+            sort=True,
+        )
+        ps_np = t["p_seq"].combine_chunks().to_numpy(zero_copy_only=False)
+        li_np = t["link_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((li_np, ps_np, ph_codes))
+
+        mut_order = order[is_mut[order]]
+        if len(mut_order):
+            mut_t = t.take(pa.array(mut_order, pa.int64()))
+            mu = mut_t["url"].to_pylist()
             mh = np.array([url_hash(u) for u in mu], dtype=np.uint64)
-            mo = [op_col[i] for i in mut_idx]
+            mo = mut_t["op"].to_pylist()
             # terminal mutations durable before candidate inserts
-            ray.get(handle.apply_mutations.remote(mu, mh, mo))
+            state.apply_mutations(mu, mh, mo)
+        prof["t_mut"] = time.time() - _t_task - prof["t_read"]
 
-        cand_idx = [i for i, k in enumerate(kinds) if k == "link"]
-        if cand_idx:
-            keys = {i: (ph_col[i], ps_col[i], li_col[i]) for i in cand_idx}
-            best: dict[str, int] = {}
-            for i in cand_idx:
-                u = urls[i]
-                j = best.get(u)
-                if j is None or keys[i] < keys[j]:
-                    best[u] = i
-            idxs = sorted(best.values(), key=lambda i: keys[i])
-            uniq = [urls[i] for i in idxs]
+        cand_order = order[~is_mut[order]]
+        if len(cand_order):
+            # within-round dedup: first occurrence in canonical order wins
+            cand_urls = t["url"].combine_chunks().to_numpy(zero_copy_only=False)
+            dup = pd.Series(cand_urls[cand_order]).duplicated().to_numpy()
+            keep_order = cand_order[~dup]
+            uniq = [cand_urls[i] for i in keep_order]
             hashes = np.array([url_hash(u) for u in uniq], dtype=np.uint64)
-            ok = ray.get(handle.check_and_insert.remote(uniq, hashes))
-            keep = [i for i, o in zip(idxs, ok) if o]
+            ok = np.asarray(state.check_and_insert(uniq, hashes), dtype=bool)
+            keep = keep_order[ok]
             n_new = len(keep)
-            if keep:
+            prof["t_cand"] = (
+                time.time() - _t_task - prof["t_read"] - prof["t_mut"]
+            )
+            if n_new:
                 sub = t.take(pa.array(keep, pa.int64())).select(
                     ["url", "host", "p_host", "p_seq", "link_idx"]
                 )
                 write_frontier_shards(
                     sub, next_frontier_dir, n_fetch_shards, f"from_{ss:05d}"
                 )
+                frontier_parts = partition_frontier(sub, n_fetch_shards)
+            prof["t_write"] = time.time() - _t_task - sum(
+                prof[k] for k in ("t_read", "t_mut", "t_cand")
+            )
+    if frontier_parts is None:
+        empty = FRONTIER_SCHEMA.empty_table()
+        frontier_parts = [empty] * n_fetch_shards
 
     # per-shard checkpoint delta (was a separate driver round-trip in r1)
-    ray.get(handle.write_delta.remote(delta_dir))
-    return {"sshard": ss, "n_new": n_new}
+    state.write_delta(delta_dir)
+    prof["t_delta"] = time.time() - _t_task - sum(
+        prof[k] for k in ("t_read", "t_mut", "t_cand", "t_write")
+    )
+    stats = {"sshard": ss, "n_new": n_new, "sec": time.time() - _t_task,
+             "t0": _t_task, "t1": time.time(), **prof}
+    return (stats, *frontier_parts)

@@ -344,8 +344,13 @@ def ensure_web_sharded(
     from .urlkit import url_hash
 
     spec, flat_path = ensure_web(n_pages, n_hosts, seed, cache_dir)
+    # v3: per-shard rows are buffered and flushed in large chunks with
+    # 128-row groups — the v1 writer emitted ~4-row groups (indexed takes
+    # ~5x slower than necessary); 1024-row groups (v2) made the ~10% of
+    # takes that land cross-shard (redirect targets) read 6 MB per missed
+    # row. 128 rows x ~6.5 KB ~= 0.8 MB per group balances both.
     out_dir = os.path.join(
-        cache_dir, f"corpus_sharded_{n_pages}_{n_hosts}_{seed}_{n_shards}"
+        cache_dir, f"corpus_sharded_v3_{n_pages}_{n_hosts}_{seed}_{n_shards}"
     )
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
@@ -356,6 +361,22 @@ def ensure_web_sharded(
         h: url_hash(f"host{h}.test") % n_shards for h in range(n_hosts)
     }
     writers: dict[int, pq.ParquetWriter] = {}
+    pending: dict[int, list[pa.Table]] = {}
+    pending_rows: dict[int, int] = {}
+
+    def _flush(s: int) -> None:
+        parts = pending.pop(s, None)
+        if not parts:
+            return
+        pending_rows[s] = 0
+        w = writers.get(s)
+        if w is None:
+            w = pq.ParquetWriter(
+                os.path.join(tmp_dir, f"shard_{s:05d}.parquet"), CORPUS_SCHEMA
+            )
+            writers[s] = w
+        w.write_table(pa.concat_tables(parts), row_group_size=128)
+
     pf = pq.ParquetFile(flat_path)
     for rg in range(pf.metadata.num_row_groups):
         t = pf.read_row_group(rg)
@@ -365,15 +386,12 @@ def ensure_web_sharded(
         for j, s in enumerate(shards):
             by_shard.setdefault(s, []).append(j)
         for s, idxs in by_shard.items():
-            w = writers.get(s)
-            if w is None:
-                w = pq.ParquetWriter(
-                    os.path.join(tmp_dir, f"shard_{s:05d}.parquet"), CORPUS_SCHEMA
-                )
-                writers[s] = w
-            w.write_table(
-                t.take(pa.array(idxs, pa.int64())), row_group_size=1024
-            )
+            pending.setdefault(s, []).append(t.take(pa.array(idxs, pa.int64())))
+            pending_rows[s] = pending_rows.get(s, 0) + len(idxs)
+            if pending_rows[s] >= 4096:
+                _flush(s)
+    for s in list(pending):
+        _flush(s)
     for w in writers.values():
         w.close()
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
