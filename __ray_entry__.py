@@ -42,7 +42,7 @@ def _ensure_crawl_run(sf_dir: str) -> tuple[str, Any]:
     spec, corpus_path = ensure_web(n_pages, n_hosts, seed=42)
     # v2: cache key versioned — round-2 engine semantics (session gating,
     # cookies, canonical mutation order) change results vs round-1 caches
-    run_dir = os.path.join(_CACHE, f"crawlrun_v2_{n_pages}_{n_hosts}")
+    run_dir = os.path.join(_CACHE, f"crawlrun_v3_{n_pages}_{n_hosts}")
     if not os.path.exists(os.path.join(run_dir, "RUN_MANIFEST.json")):
         cfg = CrawlConfig(
             spec=spec,
@@ -80,24 +80,50 @@ def _crawl_order(sf_dir: str):
 
 
 def _crawl_seen(sf_dir: str):
-    """Final seen-set replayed from the checkpoint deltas (url, status)."""
+    """Final seen-set replayed from the checkpoint deltas (url, status).
+
+    Distributed last-wins dataflow (r2; the r1 version replayed every
+    delta row in a driver dict): each delta file loads with its (round,
+    row position) — the exact application order for any one URL, since a
+    URL's mutations always flow through one seen shard — then a bucketed
+    groupby(url) keeps the (round, pos)-max row and drops deletions."""
     import glob
 
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.ops.common import bucketed_group_apply
+
     run_dir, _ = _ensure_crawl_run(sf_dir)
-    status: dict[str, int] = {}
+    items = []
     for rdir in sorted(glob.glob(os.path.join(run_dir, "round_*"))):
+        rnd = int(os.path.basename(rdir).split("_")[1])
         for f in sorted(glob.glob(os.path.join(rdir, "seen_delta", "*.parquet"))):
-            t = pq.read_table(f)
-            for u, c in zip(t["url"].to_pylist(), t["status"].to_pylist()):
-                if c == 0:
-                    status.pop(u, None)
-                else:
-                    status[u] = c
-    urls = sorted(status)
+            items.append({"path": f, "round": rnd})
+
+    def load(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p, rnd in zip(batch["path"], batch["round"]):
+            df = pq.read_table(p, columns=["url", "status"]).to_pandas()
+            df["round"] = rnd
+            df["pos"] = range(len(df))
+            out.append(df)
+        if not out:
+            return pd.DataFrame(columns=["url", "status", "round", "pos"])
+        return pd.concat(out, ignore_index=True)
+
+    def last_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["round", "pos"]).groupby("url", as_index=False).last()
+        g = g[g["status"] != 0]
+        return g[["url", "status"]]
+
+    ds = rd.from_items(items).map_batches(load, batch_format="pandas")
+    out = bucketed_group_apply(ds, ["url"], last_wins, n_buckets=8).to_pandas()
+    out = out.sort_values("url").reset_index(drop=True)
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "status": pa.array([status[u] for u in urls], pa.int8()),
+            "url": pa.array(out["url"], pa.string()),
+            "status": pa.array(out["status"].astype("int8"), pa.int8()),
         }
     )
 

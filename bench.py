@@ -193,18 +193,21 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # single-machine wall times vary 30-50% run-to-run with ambient I/O
-    # (page-flush bursts, co-tenant activity); best-of-2 per level gives a
+    # single-machine wall times on this VM vary 30-50% run-to-run with
+    # ambient I/O (host page-cache state, page-flush bursts); best-of-3
+    # per level, interleaved so slow phases don't bias one level, gives a
     # stable estimate of each level's attainable throughput
-    runs_lo = [one(lo), one(lo)]
-    runs_hi = [one(hi), one(hi)]
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_hi.append(one(hi))
+        runs_lo.append(one(lo))
     r_lo = max(runs_lo, key=lambda r: r["crawl"]["urls_per_sec"])
     r_hi = max(runs_hi, key=lambda r: r["crawl"]["urls_per_sec"])
     tput_lo = r_lo["crawl"]["urls_per_sec"]
     tput_hi = r_hi["crawl"]["urls_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
-        "metric": "crawl scaling efficiency (urls/sec, 8 vs 32 cpus, best of 2)",
+        "metric": "crawl scaling efficiency (urls/sec, 8 vs 32 cpus, best of 3)",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "urls_per_sec_lo": tput_lo,

@@ -130,6 +130,21 @@ def main(argv: list[str] | None = None) -> int:
 
         n = write_warc(read_crawled(args.run_dir), args.warc_dir)
         print(f"wrote {n} WARC entries to {args.warc_dir}", file=sys.stderr)
+    else:
+        # no -wf: the reference streams the WARC records to STDOUT
+        # (Output.hs:50-53, getSink Nothing = sinkHandle stdout); the JSON
+        # summary moves to stderr in this mode
+        from .warc import warc_entry
+
+        out = sys.stdout.buffer
+        for batch in read_crawled(args.run_dir).iter_batches(batch_format="pyarrow"):
+            if "redirect_chain" not in batch.column_names:
+                break  # empty crawl placeholder dataset
+            for chain, content in zip(
+                batch["redirect_chain"].to_pylist(), batch["content"].to_pylist()
+            ):
+                out.write(warc_entry(chain, content))
+        out.flush()
 
     print(
         json.dumps(
@@ -141,7 +156,8 @@ def main(argv: list[str] | None = None) -> int:
                 "frontier_exhausted": summary.frontier_exhausted,
                 "run_dir": summary.run_dir,
             }
-        )
+        ),
+        file=sys.stdout if args.warc_dir else sys.stderr,
     )
     ray.shutdown()
     return 0

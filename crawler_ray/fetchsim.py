@@ -53,6 +53,12 @@ MAX_CONTENT_LENGTH = 20 * 1024 * 1024  # Settings.hs:20-21
 MAX_HOPS = 8  # engine cap on direction/meta/form recursion (see module doc)
 
 
+DEFAULT_USER_AGENT = (
+    "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:44.0) "
+    "Gecko/20100101 Crawler/0.1"
+)  # Settings.hs:30
+
+
 @dataclass(frozen=True)
 class FetchPolicy:
     include: IncludePatterns
@@ -62,6 +68,14 @@ class FetchPolicy:
     max_redirects: int = MAX_REDIRECTS
     max_hops: int = MAX_HOPS
     max_content_length: int = MAX_CONTENT_LENGTH
+    # real-HTTP config surface (Request.hs:24-45, Settings.hs:11-31): the
+    # synthetic-web fetcher has no transport, so these are carried but
+    # unused here — a live-HTTP fetcher swap-in reads them when building
+    # each request (applyProxy / applyBasicAuth / headers / TLS settings)
+    user_agent: str = DEFAULT_USER_AGENT
+    proxy: tuple[str, int] | None = None  # ProxySettings (addr, port)
+    basic_auth: tuple[str, str] | None = None  # basicAuthSettings
+    ignore_bad_https_certs: bool = True  # Settings.hs:14-15
 
 
 @dataclass

@@ -99,31 +99,61 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str):
-    """Top-10 BUILDING-segment orders by discounted revenue: broadcast the
-    (small) customer and orders sides; shuffle only tiny partials."""
+    """Top-10 BUILDING-segment orders by discounted revenue.
+
+    Round-2 rewrite (VERDICT r1 #2): round 1 to_pandas()'d orders on the
+    driver (OOM at 100x). Now only the BUILDING custkey set (tiny dim
+    side) is broadcast; orders filters to building orderkeys INSIDE
+    map_batches; lineitem pre-aggregates per batch; both streams meet in
+    a bucketed hash semi-join on l_orderkey (same bucketed shuffle as
+    every high-cardinality reduce here), each bucket emits its local
+    top-10, and the driver merges 32 x 10 rows.
+    """
+    from .common import bucketed_group_apply
+
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders[orders["o_custkey"].isin(building)]
-    keep = ray.put(set(orders["o_orderkey"]))
+    building = ray.put(set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ok = ray.get(keep)
-        df = df[df["l_orderkey"].isin(ok)]
-        if df.empty:
-            return pd.DataFrame(columns=["l_orderkey", "revenue_cents"])
-        df = df.assign(revenue_cents=_cents(df["l_extendedprice"] * (1.0 - df["l_discount"])).values)
-        return df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("revenue_cents", "sum"))
+    def order_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(building)
+        keys = df.loc[df["o_custkey"].isin(keep), "o_orderkey"]
+        return pd.DataFrame({"l_orderkey": keys, "revenue_cents": 0, "src": 0})
 
-    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    # high-key-cardinality reduce: bucketed shuffle (see ops.common)
-    per_order = bucketed_sum(
-        li.map_batches(partial, batch_format="pandas", batch_size=65536),
-        ["l_orderkey"],
-        ["revenue_cents"],
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue_cents=_cents(df["l_extendedprice"] * (1.0 - df["l_discount"])).values
+        )
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue_cents=("revenue_cents", "sum"))
+        g["src"] = 1
+        return g[["l_orderkey", "revenue_cents", "src"]]
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_keys, batch_format="pandas", batch_size=65536
     )
-    top = per_order.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
-    return _ints(top, ["revenue_cents"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        present = set(g.loc[g["src"] == 0, "l_orderkey"])
+        sums = (
+            g[g["src"] == 1]
+            .groupby("l_orderkey", as_index=False)
+            .agg(revenue_cents=("revenue_cents", "sum"))
+        )
+        sums = sums[sums["l_orderkey"].isin(present)]
+        return sums.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    tops = bucketed_group_apply(orders.union(li), ["l_orderkey"], per_bucket)
+    # driver merge: at most n_buckets x 10 tiny rows
+    df = tops.to_pandas()
+    out = df.sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True]).head(10)
+    out = out.reset_index(drop=True)
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
 
 
 Q3_SQL = """

@@ -181,7 +181,11 @@ def _consume_injections(
     are renamed *.consumed (idempotent across a crash: their effect is
     already durable in the frontier files + seen deltas)."""
     n_injected = 0
-    for path in _pending_injections(cfg.run_dir):
+    pending = _pending_injections(cfg.run_dir)
+    # config updates apply before new seeds at the same boundary, so an
+    # injected URL is include-checked against the widened pattern set
+    pending.sort(key=lambda p: (not p.endswith(".patterns"), p))
+    for path in pending:
         with open(path) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
         if path.endswith(".patterns"):
