@@ -353,10 +353,123 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.25
 """
 
 
+
+
+def dedup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment: connected components over the exact
+    n-gram-Jaccard edge set (the bounded doc_id < JACCARD_SLICE slice,
+    J >= 0.3 — the same edges ngram_jaccard_pairs emits), computed with
+    DISTRIBUTED hash-min label propagation. Output (doc_id, cluster_id)
+    where cluster_id = min doc_id of the component; a training-data dedup
+    keeps one doc per cluster (doc_id == cluster_id).
+
+    Scale shape: each iteration is one bucketed key-partitioned join
+    (edges + labels co-located by node, never materialized on the driver)
+    followed by a bucketed min — the standard BSP connected-components
+    loop; iterations = component diameter (near-dup clusters are
+    near-cliques, so 2-3). At 100 TB the edge set comes from the
+    MinHash-LSH candidates instead of the exact slice; the component loop
+    is unchanged. The driver only ever sees the per-iteration changed
+    count.
+    """
+
+    pairs = ngram_jaccard_pairs(sf_dir).map_batches(
+        lambda df: df[["a", "b"]], batch_format="pandas"
+    )
+    # symmetric edge list, keyed by source
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        ).astype("int64")
+
+    edges = pairs.map_batches(sym, batch_format="pandas")
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < JACCARD_SLICE]
+        return pd.DataFrame(
+            {"node": df["doc_id"].astype("int64"), "lbl": df["doc_id"].astype("int64")}
+        )
+
+    labels = _docs(sf_dir, ["doc_id"]).map_batches(seed, batch_format="pandas")
+
+    for _ in range(8):  # >= component diameter; early-exits below
+        cols = ["node", "peer", "lbl"]
+        tagged_e = edges.map_batches(
+            lambda df: df.assign(lbl=-1)[cols], batch_format="pandas"
+        )
+        tagged_l = labels.map_batches(
+            lambda df: df.assign(peer=-1)[cols], batch_format="pandas"
+        )
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            # rows of one node-bucket: label rows (peer == -1) + edge rows
+            lbl_of = dict(
+                zip(g.loc[g["peer"] == -1, "node"], g.loc[g["peer"] == -1, "lbl"])
+            )
+            e = g[g["peer"] != -1]
+            out_node = list(lbl_of.keys()) + list(e["peer"])
+            out_lbl = list(lbl_of.values()) + [lbl_of[n] for n in e["node"]]
+            # old label rides along (0 for messages: only the self row
+            # knows it; max() in take_min recovers it per node)
+            out_old = list(lbl_of.values()) + [0] * len(e)
+            return pd.DataFrame(
+                {"node": out_node, "cand": out_lbl, "old": out_old}
+            ).astype("int64")
+
+        msgs = bucketed_group_apply(
+            tagged_e.union(tagged_l), ["node"], propagate, n_buckets=16
+        )
+
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            # the node's own current label is always among the candidates
+            # (propagate emits it), so min(cand) vs max(cand-from-self) is
+            # not usable; instead carry old label via a second groupby key
+            m = g.groupby("node", as_index=False).agg(
+                lbl=("cand", "min"), old=("old", "max")
+            )
+            m["changed"] = (m["lbl"] != m["old"]).astype("int64")
+            return m[["node", "lbl", "changed"]]
+
+        new_labels = bucketed_group_apply(
+            msgs, ["node"], take_min, n_buckets=16
+        ).materialize()  # truncate lineage: each BSP step re-executes
+        # otherwise, making iteration k cost O(k) recomputes
+        n_changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"])
+        if not n_changed:
+            break
+
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "lbl": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{NGRAM_JACCARD_SQL.replace('SELECT a, b,', 'SELECT a, b,')}
+), edges AS (
+  SELECT a AS node, b AS peer FROM pairs
+  UNION ALL
+  SELECT b AS node, a AS peer FROM pairs
+), nodes AS (
+  SELECT doc_id FROM documents WHERE doc_id < {JACCARD_SLICE}
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.peer FROM reach r JOIN edges e ON e.node = r.dst
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, None),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "embedding_dup_pairs": (embedding_dup_pairs, EMBEDDING_DUP_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }
