@@ -36,11 +36,17 @@ only the boundary files (payload bytes of fully-kept shards never move).
 
 Runtime control surface (Service.hs:28-83 equivalents): drop files into
 ``run_dir/inject/`` between rounds — ``*.urls`` (one seed URL per line,
-addUrl, Service.hs:65-69) and ``*.patterns`` (one include pattern per
-line, addUrlIncludePattern, Service.hs:71-74). They are consumed at the
-next round boundary, revive an exhausted frontier, and are re-applied
-deterministically on resume (consumed files are renamed ``.consumed`` and
-their effects live in the frontier/seen lineage).
+addUrl, Service.hs:65-69), ``*.patterns`` (one include pattern per line,
+addUrlIncludePattern, Service.hs:71-74), and a ``stop`` sentinel
+(Service.hs:79-80 HaltingStatus: finish the in-flight round, commit, and
+exit with the frontier intact; a later resume continues exactly). URL and
+pattern files are consumed at the next round boundary and revive an
+exhausted frontier. Durability (ADVICE r2): each consumed file's content
+is first copied to ``run_dir/inject_log/r<round>-<name>`` (atomic write,
+BEFORE the ``.consumed`` rename), so a crash in the one-round-deferred
+commit window — where a rerun's rmtree can erase the injected frontier
+rows — replays the injection from the log; pattern widenings are restored
+from the log on every resume.
 """
 
 from __future__ import annotations
@@ -103,6 +109,7 @@ class CrawlSummary:
     run_dir: str = ""
     frontier_exhausted: bool = False
     quota_reached: bool = False
+    halted: bool = False  # stop sentinel consumed (Service.hs HaltingStatus)
     round_stats: list[dict] = field(default_factory=list)
     cookies: dict = field(default_factory=dict)
 
@@ -172,45 +179,79 @@ def _pending_injections(run_dir: str) -> list[str]:
     )
 
 
+def _widen_patterns(policy: FetchPolicy, lines: list[str]) -> FetchPolicy:
+    inc = policy.include
+    return replace(
+        policy,
+        include=IncludePatterns(
+            url_patterns=inc.url_patterns | frozenset(lines),
+            domain_patterns=inc.domain_patterns,
+        ),
+    )
+
+
+def _read_lines(path: str) -> list[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _inject_log_dir(run_dir: str) -> str:
+    return os.path.join(run_dir, "inject_log")
+
+
 def _consume_injections(
     cfg: CrawlConfig, shards, policy: FetchPolicy, frontier_dir: str, tag: int
 ) -> tuple[FetchPolicy, int]:
-    """Apply pending inject files: seed URLs enter THIS round's frontier
-    (p_host="" sorts them first, like round-0 seeds); include patterns
-    extend the URL-pattern set for this and later rounds. Consumed files
-    are renamed *.consumed (idempotent across a crash: their effect is
-    already durable in the frontier files + seen deltas)."""
-    n_injected = 0
+    """Apply inject files for round ``tag``: seed URLs enter THIS round's
+    frontier (p_host="" sorts them first, like round-0 seeds); include
+    patterns extend the URL-pattern set for this and later rounds.
+
+    Durability protocol (ADVICE r2 high+medium): each pending file's
+    content is copied to ``inject_log/r<tag>-<name>`` with an atomic write
+    BEFORE the ``.consumed`` rename, then ALL of this round's log entries
+    are applied — fresh consumes and crash/resume replays take the same
+    path. A rerun of this round (after a crash anywhere in the deferred
+    one-round commit window, whose rmtree may have erased the injected
+    frontier rows) re-applies from the log: seen-set membership inserts
+    are re-run unconditionally (idempotent, and a resume's rebuilt state
+    lacks this round's uncommitted inserts), while the frontier file is
+    rewritten only if missing (when it survived, its rows were already
+    counted from the lineage)."""
     pending = _pending_injections(cfg.run_dir)
+    ilog = _inject_log_dir(cfg.run_dir)
+    if pending:
+        os.makedirs(ilog, exist_ok=True)
+    for path in pending:
+        dst = os.path.join(ilog, f"r{tag:05d}-{os.path.basename(path)}")
+        tmp = dst + ".tmp"
+        with open(path) as src, open(tmp, "w") as out:
+            out.write(src.read())
+        os.replace(tmp, dst)
+        os.replace(path, path + ".consumed")
+
+    n_injected = 0
+    logged = glob.glob(os.path.join(ilog, f"r{tag:05d}-*"))
     # config updates apply before new seeds at the same boundary, so an
     # injected URL is include-checked against the widened pattern set
-    pending.sort(key=lambda p: (not p.endswith(".patterns"), p))
-    for path in pending:
-        with open(path) as f:
-            lines = [ln.strip() for ln in f if ln.strip()]
+    logged.sort(key=lambda p: (not p.endswith(".patterns"), p))
+    for path in logged:
+        lines = _read_lines(path)
         if path.endswith(".patterns"):
-            inc = policy.include
-            policy = replace(
-                policy,
-                include=IncludePatterns(
-                    url_patterns=inc.url_patterns | frozenset(lines),
-                    domain_patterns=inc.domain_patterns,
-                ),
-            )
+            policy = _widen_patterns(policy, lines)
         else:
+            stem = os.path.basename(path).rsplit(".", 1)[0]  # r00003-name
+            origin = f"inject-{stem}"
+            out_path = os.path.join(frontier_dir, f"{origin}.parquet")
             survivors = _insert_new_urls(cfg, shards, lines, policy)
-            if survivors:
+            if survivors and not os.path.exists(out_path):
                 rows = [
                     (cu, host, "", idx, 0) for cu, host, idx in survivors
                 ]
                 write_frontier_shards(
-                    _frontier_table(rows),
-                    frontier_dir,
-                    cfg.n_fetch_shards,
-                    f"inject{tag:03d}-{os.path.basename(path).split('.')[0]}",
+                    _frontier_table(rows), frontier_dir,
+                    cfg.n_fetch_shards, origin,
                 )
                 n_injected += len(rows)
-        os.replace(path, path + ".consumed")
     return policy, n_injected
 
 
@@ -232,6 +273,14 @@ def crawl(
         shards = make_shards(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
 
     policy = cfg.policy
+    # restore pattern widenings consumed by earlier rounds (ADVICE r2
+    # high: injections must survive resume — cfg.policy is the ORIGINAL
+    # narrow set). Union is idempotent, so the current round's consume
+    # re-applying its own entry is harmless.
+    for pth in sorted(
+        glob.glob(os.path.join(_inject_log_dir(cfg.run_dir), "*.patterns"))
+    ):
+        policy = _widen_patterns(policy, _read_lines(pth))
     rnd = start_round
     if start_frontier_path is None:
         survivors = _insert_new_urls(cfg, shards, cfg.seeds, policy)
@@ -280,6 +329,15 @@ def crawl(
     while rnd < cfg.max_rounds and (
         frontier_rows or _pending_injections(cfg.run_dir)
     ):
+        # stop verb (Service.hs:79-80 HaltingStatus): checked at the round
+        # boundary — the previous round is complete; commit what is
+        # pending (after the loop) and exit with the frontier intact so a
+        # resume continues exactly where the stop landed
+        stop_f = os.path.join(cfg.run_dir, "inject", "stop")
+        if os.path.exists(stop_f):
+            os.replace(stop_f, stop_f + ".consumed")
+            summary.halted = True
+            break
         _t_round = _time.time()
         rdir = _round_dir(cfg.run_dir, rnd)
         next_path = os.path.join(cfg.run_dir, f"frontier_{rnd + 1:05d}")
@@ -531,6 +589,7 @@ def _write_run_manifest(cfg: CrawlConfig, summary: CrawlSummary) -> None:
         "fetched": summary.fetched,
         "quota_reached": summary.quota_reached,
         "frontier_exhausted": summary.frontier_exhausted,
+        "halted": summary.halted,
         "cookies": dict(summary.cookies),
         "round_stats": summary.round_stats,
         "config": {

@@ -152,6 +152,108 @@ def test_inject_patterns_widen_include(ray_session, web, tmp_path):
     assert after > before  # the widened include let new URLs through
 
 
+def test_inject_patterns_survive_second_resume(ray_session, web, tmp_path):
+    """ADVICE r2 (high): a pattern widening must persist across a LATER
+    resume — resume_crawl restarts from cfg.policy (the original narrow
+    set), so the widened set must be restored from inject_log, not live
+    only in the process that consumed the file."""
+    spec, _ = web
+    narrow = FetchPolicy(
+        include=IncludePatterns(url_patterns=frozenset(["/page/0"]))
+    )
+    run = tmp_path / "run"
+    cfg = _cfg(web, narrow, run, [spec.url_of(0)], max_rounds=6)
+    crawl(cfg)
+    os.makedirs(run / "inject", exist_ok=True)
+    with open(run / "inject" / "widen.patterns", "w") as f:
+        f.write(".test\n")
+    with open(run / "inject" / "more.urls", "w") as f:
+        f.write(spec.url_of(1) + "\n")
+    resume_crawl(cfg)
+    after_first = set(read_order(str(run))["url"].to_pylist())
+    docs_first = sorted(read_crawled(str(run)).to_pandas()["url"])
+    # crash the last committed round and resume AGAIN in "fresh process"
+    # state (resume_crawl rebuilds everything from cfg + run_dir): the
+    # rerun must still apply the widened include set
+    last = committed_rounds(str(run))[-1]
+    os.remove(str(run / f"round_{last:05d}" / "MANIFEST.json"))
+    os.remove(str(run / "RUN_MANIFEST.json"))
+    resume_crawl(cfg)
+    after_second = set(read_order(str(run))["url"].to_pylist())
+    docs_second = sorted(read_crawled(str(run)).to_pandas()["url"])
+    assert after_second == after_first
+    assert docs_second == docs_first
+
+
+def test_inject_urls_survive_commit_window_crash(ray_session, web, policy, tmp_path):
+    """ADVICE r2 (medium): seeds consumed at round k live only in
+    frontier_k until round k-1's deferred MANIFEST commits; a crash in
+    that window makes the resume rerun round k-1, whose rmtree deletes
+    frontier_k (including the injected rows). The inject_log replay must
+    restore them."""
+    spec, _ = web
+    run = tmp_path / "run"
+    cfg = _cfg(web, policy, run, [spec.url_of(0)])
+    crawl(cfg)
+    urls_before = set(read_crawled(str(run)).to_pandas()["url"])
+    extra = next(
+        spec.url_of(i) for i in range(N_PAGES)
+        if spec.url_of(i) not in urls_before and spec.kind_of(i) == "plain"
+        and not spec.is_private(i)
+    )
+    os.makedirs(run / "inject", exist_ok=True)
+    with open(run / "inject" / "late.urls", "w") as f:
+        f.write(extra + "\n")
+    resume_crawl(cfg)
+    docs_good = sorted(read_crawled(str(run)).to_pandas()["url"])
+    assert extra in docs_good
+    # the round that consumed the injection, from its log entry name
+    ilog = sorted(glob.glob(str(run / "inject_log" / "r*-late.urls")))
+    assert len(ilog) == 1
+    k = int(os.path.basename(ilog[0])[1:6])
+    # simulate the crash window: rounds k-1 and k uncommitted (k-1's
+    # manifest commit was deferred into round k and never happened)
+    for r in (k - 1, k):
+        mf = run / f"round_{r:05d}" / "MANIFEST.json"
+        if os.path.exists(mf):
+            os.remove(mf)
+    if os.path.exists(run / "RUN_MANIFEST.json"):
+        os.remove(run / "RUN_MANIFEST.json")
+    resume_crawl(cfg)  # reruns k-1: its rmtree wipes frontier_k first
+    docs_after = sorted(read_crawled(str(run)).to_pandas()["url"])
+    assert extra in docs_after
+    assert docs_after == docs_good
+
+
+def test_stop_verb_halts_and_resumes_exactly(ray_session, web, policy, tmp_path):
+    """run_dir/inject/stop (Service.hs:79-80): consumed at the round
+    boundary — halt with the frontier intact; resume completes the crawl
+    identically to an uninterrupted run."""
+    spec, _ = web
+    seeds = [spec.url_of(i) for i in range(3)]
+    golden = crawl(_cfg(web, policy, tmp_path / "golden", seeds))
+    docs_golden = sorted(
+        read_crawled(str(tmp_path / "golden")).to_pandas()["url"]
+    )
+
+    run = tmp_path / "run"
+    cfg = _cfg(web, policy, run, seeds, max_rounds=2)
+    crawl(cfg)  # simulate a crawl in flight, stopped after 2 rounds
+    os.makedirs(run / "inject", exist_ok=True)
+    open(run / "inject" / "stop", "w").close()
+    cfg_full = _cfg(web, policy, run, seeds)  # lift the round cap
+    s2 = resume_crawl(cfg_full)  # sees the sentinel at its first boundary
+    assert s2.halted and not s2.frontier_exhausted
+    assert os.path.exists(run / "inject" / "stop.consumed")
+    n_docs_at_stop = len(read_crawled(str(run)).to_pandas())
+    s3 = resume_crawl(cfg_full)
+    assert not s3.halted and s3.frontier_exhausted
+    docs_final = sorted(read_crawled(str(run)).to_pandas()["url"])
+    assert docs_final == docs_golden
+    assert len(docs_final) >= n_docs_at_stop
+    assert golden.stored == len(docs_golden)
+
+
 def test_manifest_carries_cookie_state(ray_session, web, tmp_path):
     spec, _ = web
     from crawler_ray.configs import parse_form_instructions
