@@ -192,7 +192,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # single-machine wall times on this VM vary 30-50% run-to-run with
     # ambient I/O (host page-cache state, page-flush bursts); best-of-3
     # per level, interleaved so slow phases don't bias one level, gives a
@@ -207,7 +208,7 @@ def run_scaling() -> dict:
     tput_hi = r_hi["crawl"]["urls_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
-        "metric": "crawl scaling efficiency (urls/sec, 8 vs 32 cpus, best of 3)",
+        "metric": f"crawl scaling efficiency (urls/sec, {lo} vs {hi} cpus, best of 3)",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "urls_per_sec_lo": tput_lo,

@@ -68,7 +68,7 @@ from ..state.seen import make_shards
 from ..stages.fetch import (
     FRONTIER_SCHEMA,
     fetch_shard,
-    write_docs_shard,
+    write_docs_group,
     write_frontier_shards,
 )
 from ..urlkit import IncludePatterns, canonicalise, get_domain, url_hash
@@ -77,7 +77,7 @@ from ..webgen import WebSpec
 # raw-task wrappers around the stage bodies (one task per shard); the
 # combined stage runs as SeenShard.combined_round actor calls
 _fetch_task = ray.remote(fetch_shard)
-_docs_task = ray.remote(write_docs_shard)
+_docs_task = ray.remote(write_docs_group)
 
 
 @dataclass
@@ -99,6 +99,9 @@ class CrawlConfig:
     # run the per-row payload invariant inline in the fetch stage
     verify_payload: bool = False
     seen_capacity_per_shard: int = 1 << 17
+    # docs-sink partitions per round: each group owns a set of corpus
+    # shards and performs only LOCAL payload takes (stages/fetch.py)
+    n_docs_groups: int = 32
 
 
 @dataclass
@@ -302,6 +305,20 @@ def crawl(
 
     # crawl-constant context shared by every task of every round: put ONCE
     # (broadcast), not re-serialized per task
+    # corpus routing for the docs-group partitioner: sharded corpus ->
+    # precomputed host -> corpus-shard array (hashed once per host here,
+    # not once per doc in every task); flat corpus -> None (page-id range)
+    corpus_meta_path = os.path.join(cfg.corpus_path, "meta.json")
+    if os.path.isdir(cfg.corpus_path) and os.path.exists(corpus_meta_path):
+        with open(corpus_meta_path) as f:
+            n_corpus_shards = json.load(f)["n_shards"]
+        corpus_shard_of_host = [
+            url_hash(f"host{h}.test") % n_corpus_shards
+            for h in range(cfg.spec.n_hosts)
+        ]
+    else:
+        corpus_shard_of_host = None
+
     def _ctx_refs(pol: FetchPolicy):
         base = dict(
             spec=cfg.spec,
@@ -310,6 +327,8 @@ def crawl(
             seen_handles=shards,
             n_seen_shards=cfg.n_seen_shards,
             n_fetch_shards=cfg.n_fetch_shards,
+            n_docs_groups=cfg.n_docs_groups,
+            corpus_shard_of_host=corpus_shard_of_host,
             run_dir=cfg.run_dir,
             politeness_delay=cfg.politeness_delay,
             record_metrics=cfg.record_metrics,
@@ -367,15 +386,21 @@ def crawl(
             break
 
         # --- fetch stage: one raw task per fetch shard. Each task has
-        #     1 + n_seen_shards returns: stats, then one meta table per
-        #     seen shard (the fetch->combined exchange, via object store)
+        #     1 + n_docs_groups + n_seen_shards returns: stats, one docs-
+        #     metadata table per docs group (partitioned by the landed
+        #     page's corpus shard), then one meta table per seen shard
+        #     (the fetch->combined exchange) — all via object store
         csnap = tuple(sorted(summary.cookies.items()))
+        G = cfg.n_docs_groups
         # BFS-drain rounds have tiny frontiers: fold shards into fewer
         # tasks (~400 URLs each) so a 50-URL round costs a handful of
-        # task dispatches, not n_fetch_shards x 2. Folded rounds read the
-        # frontier lineage files (one tiny read per shard) instead of the
-        # per-shard object-store refs. Grouping is a pure function of
-        # frontier_rows, so reruns and resumes regroup identically.
+        # task dispatches, not n_fetch_shards x 2. A folded task receives
+        # the object-store frontier refs of EVERY shard in its group
+        # (round-3 change: the old file fallback made each folded round
+        # open n_shards x n_files frontier parquets — ~230 core-s per
+        # sf0.1 crawl, and a serial multi-second tail in the drain
+        # rounds). Grouping is a pure function of frontier_rows, so
+        # reruns and resumes regroup identically.
         n_groups = min(cfg.n_fetch_shards, max(1, frontier_rows // 400))
         if n_groups == cfg.n_fetch_shards:
             task_shards = [[s] for s in range(cfg.n_fetch_shards)]
@@ -384,27 +409,39 @@ def crawl(
                 list(range(g, cfg.n_fetch_shards, n_groups))
                 for g in range(n_groups)
             ]
-            prev_comb_rets = None  # folded tasks use the file fallback
+        # a heavily-folded task would receive len(grp) x n_seen_shards
+        # object refs — at 256 shards folded into one task that is ~8k
+        # refs, whose resolution alone costs ~1.5 s; past ~512 refs the
+        # (batched, one-open-per-file) lineage read is cheaper
+        use_refs = (
+            prev_comb_rets is not None
+            and (cfg.n_fetch_shards // n_groups) * cfg.n_seen_shards <= 512
+        )
         fetch_rets = [
-            _fetch_task.options(num_returns=2 + cfg.n_seen_shards).remote(
+            _fetch_task.options(
+                num_returns=1 + G + cfg.n_seen_shards
+            ).remote(
                 grp if len(grp) > 1 else grp[0],
                 ctx_ref, rnd, frontier_path, csnap,
                 *(
-                    [r[1 + grp[0]] for r in prev_comb_rets]
-                    if prev_comb_rets is not None
+                    [r[1 + s] for s in grp for r in prev_comb_rets]
+                    if use_refs
                     else []
                 ),
             )
             for grp in task_shards
         ]
         # payload persistence (corpus take + verify + docs parquet): one
-        # task per fetch task, dependent ONLY on that task's fetch return
-        # — runs under the fetch straggler's tail, the combined phase, and
+        # task per DOCS GROUP, fed its metadata return of every fetch
+        # task — payload takes stay local to the group's corpus shards;
+        # runs under the fetch straggler's tail, the combined phase, and
         # the next round's fetch; the round commits (below) only after
         # these are durable
         docs_refs = [
-            _docs_task.remote(grp[0], ctx_ref, rnd, fetch_rets[g][1])
-            for g, grp in enumerate(task_shards)
+            _docs_task.remote(
+                g, ctx_ref, rnd, *[fr[1 + g] for fr in fetch_rets]
+            )
+            for g in range(G)
         ]
         # --- combined terminal+candidate stage: one combined_round actor
         #     call per seen shard, fed every fetch task's meta-list ref.
@@ -418,7 +455,7 @@ def crawl(
                 num_returns=1 + cfg.n_fetch_shards
             ).remote(
                 cfg.n_fetch_shards, cfg.run_dir, rnd, next_path,
-                *[r[2 + m] for r in fetch_rets],
+                *[r[1 + G + m] for r in fetch_rets],
             )
             for m in range(cfg.n_seen_shards)
         ]
@@ -485,7 +522,10 @@ def crawl(
                 for k in ("t_read", "t_mut", "t_cand", "t_write", "t_delta")
             },
         }
-        summary.round_stats.append({"round": rnd, **stats})
+        stats["round"] = rnd
+        # append the SAME dict pending_commit holds — docs_spans is added
+        # to it when the round commits, and must reach RUN_MANIFEST too
+        summary.round_stats.append(stats)
         # commit of the PREVIOUS round: its docs tasks finished while this
         # round ran; a crash before a commit just reruns that round from
         # its frontier files (pipelines/checkpoint.py), so deferring the
@@ -497,6 +537,10 @@ def crawl(
             p_stats["docs_spans"] = [
                 (round(d["t0"], 3), round(d["t1"], 3)) for d in dstats
             ]
+            p_stats["docs_phases"] = {
+                k: round(sum(d.get(k, 0.0) for d in dstats), 2)
+                for k in ("t_take", "t_verify", "t_render", "t_write")
+            }
             _commit_round(p_rdir, p_rnd, p_stats, p_next, p_cookies)
         pending_commit = (
             rdir, rnd, stats, next_path, dict(summary.cookies), docs_refs
@@ -513,6 +557,10 @@ def crawl(
         p_stats["docs_spans"] = [
             (round(d["t0"], 3), round(d["t1"], 3)) for d in dstats
         ]
+        p_stats["docs_phases"] = {
+            k: round(sum(d.get(k, 0.0) for d in dstats), 2)
+            for k in ("t_take", "t_verify", "t_render", "t_write")
+        }
         _commit_round(p_rdir, p_rnd, p_stats, p_next, p_cookies)
 
     summary.rounds = rnd - start_round
@@ -556,27 +604,33 @@ def _trim_round_docs(cfg: CrawlConfig, rnd: int, room: int) -> None:
     if not files:
         return
     room = max(0, room)
-    # pass 1: keys only
-    hosts, seqs, counts = [], [], []
-    for f in files:
-        t = pq.read_table(f, columns=["host", "seq"])
-        hosts.extend(t["host"].to_pylist())
-        seqs.extend(t["seq"].to_pylist())
-        counts.append(t.num_rows)
-    order = sorted(range(len(hosts)), key=lambda i: (hosts[i], seqs[i]))
-    kept = set(order[:room])
+    # pass 1: keys only, one numpy lexsort (VERDICT r2 #3 — the Python
+    # sorted()/`in kept` pair made the quota round O(rows) Python)
+    import pandas as pd
+
+    tabs = [pq.read_table(f, columns=["host", "seq"]) for f in files]
+    counts = [t.num_rows for t in tabs]
+    keys = pa.concat_tables(tabs)
+    host_codes, _ = pd.factorize(
+        keys["host"].combine_chunks().to_numpy(zero_copy_only=False), sort=True
+    )
+    seqs = keys["seq"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((seqs, host_codes))
+    kept_mask = np.zeros(len(host_codes), dtype=bool)
+    kept_mask[order[:room]] = True
     # pass 2: rewrite only boundary files
     row_cursor = 0
     for f, n in zip(files, counts):
-        keep_local = [i - row_cursor for i in range(row_cursor, row_cursor + n) if i in kept]
+        mask = kept_mask[row_cursor : row_cursor + n]
         row_cursor += n
-        if len(keep_local) == n:
+        n_keep = int(mask.sum())
+        if n_keep == n:
             continue  # fully kept: payload untouched
-        if not keep_local:
+        if n_keep == 0:
             os.remove(f)
             continue
         t = pq.read_table(f)
-        t = t.take(pa.array(keep_local, pa.int64()))
+        t = t.take(pa.array(np.flatnonzero(mask), pa.int64()))
         tmp = f + ".tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, f)

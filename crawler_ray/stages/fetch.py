@@ -20,12 +20,29 @@ Data exchange, round-2 layout (re-planned after measuring round 1):
   tiny ext4 creates+renames per round) cost more core-seconds than the
   crawl's real work and caused journal-flush stalls.
 - meta (fetch -> combined, intra-round only): Arrow tables through the
-  OBJECT STORE — fetch task ``s`` returns (stats, [meta_ss0 ..
-  meta_ss{M-1}]) and combined actor ``m`` receives every fetch task's
-  list ref, slicing element m zero-copy. No files: resume reruns an
+  OBJECT STORE — fetch task ``s`` multi-returns (stats, docs_table,
+  meta_ss0 .. meta_ss{M-1}) with ``num_returns=2+n_seen_shards``;
+  combined actor ``m`` receives exactly the (2+m)-th return ref of every
+  fetch task (per-consumer granularity: a consumer deserializes only its
+  own slice, never the whole exchange). No files: resume reruns an
   uncommitted round from its frontier files, so meta needs no
-  durability. One list object per task keeps plasma object count at
-  O(shards) per round, not O(shards x seen shards).
+  durability.
+- the docs returns carry METADATA ONLY — url/chain/host/seq/hops/
+  page_id, never the content body. The body is a pure function of
+  (spec, page_id), so the docs task re-renders it instead of shipping
+  ~1 KB x stored-docs through plasma every round (round-3 change: the
+  measured 32-worker core-second inflation tracked shared plasma/disk
+  byte volume, VERDICT r2 #1).
+- docs metadata is partitioned by the LANDED page's CORPUS shard (G
+  group returns per fetch task), not by fetch shard: payload attach is
+  co-partitioned with payload storage. Round-3 change: with docs tasks
+  keyed by fetch shard, the ~25% of stored docs that land cross-host
+  (redirect/meta/form/direction chains) each paid a full row-group read
+  in a foreign corpus partition — 0.5-1.1 ms/row and ~170 GB of read
+  amplification per sf0.1 crawl, the single largest shared-memory-bus
+  load behind the 32-worker core-second inflation. Grouped by corpus
+  shard, those rows fold into the covering-row-group reads the owning
+  group performs anyway (~4 us/row marginal).
 - docs / order / logs / metrics / seen deltas: per-shard partition files
   per round (checkpoint lineage + the payload sink).
 
@@ -106,15 +123,40 @@ def _atomic_write(path: str, table: pa.Table) -> None:
     os.replace(tmp, path)
 
 
+def _host_shards(table: pa.Table, n_fetch_shards: int) -> np.ndarray:
+    """Vectorized shard = url_hash(host) % n: hosts repeat heavily, so
+    factorize once and hash only the UNIQUE hosts (VERDICT r2 #3 — the
+    per-row Python url_hash loop ran in every combined actor every
+    round)."""
+    import pandas as pd
+
+    hosts = table["host"].combine_chunks().to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(hosts)
+    shard_of_unique = np.fromiter(
+        (url_hash(h) % n_fetch_shards for h in uniques),
+        dtype=np.int64,
+        count=len(uniques),
+    )
+    return shard_of_unique[codes]
+
+
+def _shard_sorted(
+    table: pa.Table, n_fetch_shards: int
+) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """(table stably sorted by shard, sorted shard column, bounds) where
+    rows of shard s are slice [bounds[s], bounds[s+1])."""
+    shard = _host_shards(table, n_fetch_shards)
+    order = np.argsort(shard, kind="stable")
+    sorted_shard = shard[order]
+    bounds = np.searchsorted(sorted_shard, np.arange(n_fetch_shards + 1))
+    return table.take(pa.array(order, pa.int64())), sorted_shard, bounds
+
+
 def partition_frontier(table: pa.Table, n_fetch_shards: int) -> list[pa.Table]:
     """Split frontier rows into one table per host-hash fetch shard."""
-    hosts = table["host"].to_pylist()
-    by_shard: dict[int, list[int]] = {}
-    for i, h in enumerate(hosts):
-        by_shard.setdefault(url_hash(h) % n_fetch_shards, []).append(i)
-    empty = FRONTIER_SCHEMA.empty_table()
+    taken, _, bounds = _shard_sorted(table, n_fetch_shards)
     return [
-        table.take(pa.array(by_shard[s], pa.int64())) if s in by_shard else empty
+        taken.slice(bounds[s], bounds[s + 1] - bounds[s])
         for s in range(n_fetch_shards)
     ]
 
@@ -133,22 +175,15 @@ def write_frontier_shards(
     triggered journal-flush stalls. Fetch task ``s`` prunes to its rows
     via row-group statistics (filters=[('shard','=',s)])."""
     os.makedirs(frontier_dir, exist_ok=True)
-    hosts = table["host"].to_pylist()
-    shard_of = [url_hash(h) % n_fetch_shards for h in hosts]
-    by_shard: dict[int, list[int]] = {}
-    for i, s in enumerate(shard_of):
-        by_shard.setdefault(s, []).append(i)
+    taken, sorted_shard, bounds = _shard_sorted(table, n_fetch_shards)
+    taken = taken.append_column("shard", pa.array(sorted_shard, pa.int32()))
     path = os.path.join(frontier_dir, f"{origin}.parquet")
     tmp = path + ".tmp"
-    schema = table.schema.append(pa.field("shard", pa.int32()))
-    writer = pq.ParquetWriter(tmp, schema)
-    for s in sorted(by_shard):
-        idxs = by_shard[s]
-        sub = table.take(pa.array(idxs, pa.int64()))
-        sub = sub.append_column(
-            "shard", pa.array([s] * len(idxs), pa.int32())
-        )
-        writer.write_table(sub)  # one row group per shard -> stat pruning
+    writer = pq.ParquetWriter(tmp, taken.schema)
+    for s in range(n_fetch_shards):
+        n = bounds[s + 1] - bounds[s]
+        if n:  # one row group per shard -> stat pruning
+            writer.write_table(taken.slice(bounds[s], n))
     writer.close()
     os.replace(tmp, path)
 
@@ -156,10 +191,20 @@ def write_frontier_shards(
 def read_frontier_shard(frontier_dir: str, shard: int) -> pa.Table | None:
     """Rows of one fetch shard across all frontier files (row-group
     pruned via the shard column's statistics)."""
+    return read_frontier_group(frontier_dir, [shard])
+
+
+def read_frontier_group(frontier_dir: str, shards) -> pa.Table | None:
+    """Rows of a GROUP of fetch shards across all frontier files — each
+    file is opened ONCE with a row-group-pruned ``shard in (...)`` filter
+    (a folded drain round's task used to open every file once PER shard:
+    n_shards x n_files reads per round cost more than the round's fetch
+    work, VERDICT r2 scaling audit)."""
     files = sorted(glob.glob(os.path.join(frontier_dir, "*.parquet")))
+    shard_list = list(shards)
     parts = []
     for f in files:
-        t = pq.read_table(f, filters=[("shard", "=", shard)])
+        t = pq.read_table(f, filters=[("shard", "in", shard_list)])
         if t.num_rows:
             parts.append(t.drop_columns(["shard"]))
     if not parts:
@@ -195,15 +240,18 @@ def fetch_shard(
     seeding, or the first round of a resume), the shard's rows are read
     from the frontier_dir lineage files instead.
 
-    Returns a (1 + n_seen_shards)-tuple for Ray multi-return: a stats
-    dict {shard, n_proc, n_docs, shared_cookies, timings}, then one
+    Returns a (1 + n_docs_groups + n_seen_shards)-tuple for Ray
+    multi-return: a stats dict {shard, n_proc, n_docs, shared_cookies,
+    timings}; one stored-docs METADATA table per docs group, partitioned
+    by the landed page's corpus shard (consumed by write_docs_group,
+    which takes payloads locally and re-renders content bodies); then one
     META_SCHEMA table per seen shard (combined actor m receives exactly
-    the (1+m)-th return of every fetch task — per-consumer granularity
-    matters: a consumer deserializes only its own slice, never the whole
-    exchange). The fetch->combined exchange travels through the OBJECT
-    STORE — it is intra-round intermediate state, not checkpoint lineage
-    (resume reruns the round from the frontier files), and as files it
-    cost more than the crawl's real work.
+    the (1+n_docs_groups+m)-th return of every fetch task). Per-consumer
+    granularity matters: a consumer deserializes only its own slice,
+    never the whole exchange. The exchanges travel through the OBJECT
+    STORE — intra-round intermediate state, not checkpoint lineage
+    (resume reruns the round from the frontier files); as files they cost
+    more than the crawl's real work.
     """
     _t_task = time.time()
     shards = (
@@ -223,14 +271,27 @@ def fetch_shard(
     for d in (order_dir, logs_dir):
         os.makedirs(d, exist_ok=True)
 
+    n_docs_groups = ctx["n_docs_groups"]
+    corpus_shard_of_host = ctx["corpus_shard_of_host"]
+
+    def _docs_group_of(pid: int) -> int:
+        # co-partition with the corpus store: sharded corpus -> the landed
+        # host's corpus shard; flat corpus -> page-id range (the flat file
+        # is sorted by image_id, so a range is a contiguous group run)
+        if corpus_shard_of_host is not None:
+            return corpus_shard_of_host[spec.host_of(pid)] % n_docs_groups
+        return pid * n_docs_groups // spec.n_pages
+
     def _docs_table(docs: list[dict]) -> pa.Table:
+        # metadata only — the content body is re-rendered from (spec,
+        # page_id) in write_docs_group, not shipped through the object
+        # store (round-3 scaling change, see module doc)
         return pa.table(
             {
                 "url": pa.array([d["url"] for d in docs], pa.string()),
                 "redirect_chain": pa.array(
                     [d["redirect_chain"] for d in docs], pa.list_(pa.string())
                 ),
-                "content": pa.array([d["content"] for d in docs], pa.binary()),
                 "worker_id": pa.array([d["worker_id"] for d in docs], pa.string()),
                 "round": pa.array([d["round"] for d in docs], pa.int32()),
                 "host": pa.array([d["host"] for d in docs], pa.string()),
@@ -241,6 +302,12 @@ def fetch_shard(
         )
 
     def _returns(stats: dict, docs: list[dict], meta_rows: list[tuple]):
+        by_g: dict[int, list[dict]] = {}
+        for d in docs:
+            by_g.setdefault(_docs_group_of(d["page_id"]), []).append(d)
+        docs_tables = [
+            _docs_table(by_g.get(g, [])) for g in range(n_docs_groups)
+        ]
         by_ss: dict[int, list[int]] = {}
         for j, row in enumerate(meta_rows):
             by_ss.setdefault(url_hash(row[1]) % n_seen_shards, []).append(j)
@@ -260,7 +327,7 @@ def fetch_shard(
                     }
                 )
             )
-        return (stats, _docs_table(docs), *tables)
+        return (stats, *docs_tables, *tables)
 
     guard_cache: dict[str, bool] = {}
     guard_wait = [0.0, 0]  # accumulated blocking time, call count
@@ -285,9 +352,7 @@ def fetch_shard(
         mine = [t for t in frontier_parts if t.num_rows]
         group = pa.concat_tables(mine) if mine else None
     else:
-        parts = [read_frontier_shard(frontier_dir, sh) for sh in shards]
-        parts = [p for p in parts if p is not None]
-        group = pa.concat_tables(parts) if parts else None
+        group = read_frontier_group(frontier_dir, shards)
     if group is None:
         return _returns(
             {
@@ -389,7 +454,6 @@ def fetch_shard(
                 {
                     "url": url,
                     "redirect_chain": list(out.redirect_chain),
-                    "content": out.body.encode(),
                     "worker_id": f"shard-{shard}",
                     "round": round_idx,
                     "host": host,
@@ -466,25 +530,43 @@ def fetch_shard(
     )
 
 
-def write_docs_shard(
-    shard: int,
+def write_docs_group(
+    group: int,
     ctx: dict,
     round_idx: int,
-    docs_tbl: pa.Table,
-) -> int:
-    """Attach image payload columns (one bulk corpus take — the J4 index
-    lookup, SURVEY.md §2.5) and write this shard's docs partition file.
-    Runs as its own raw task per shard, dependent only on that shard's
-    fetch return — so payload persistence overlaps the combined phase and
-    the next round's fetch instead of sitting on the round barrier.
+    *docs_tbls: pa.Table,
+) -> dict:
+    """Re-render content bodies from (spec, page_id), attach image payload
+    columns (one bulk corpus take — the J4 index lookup, SURVEY.md §2.5)
+    and write this docs GROUP's partition file. ``docs_tbls`` are the
+    group's metadata returns from every fetch task of the round. Runs as
+    its own raw task per group, dependent only on the fetch returns — so
+    payload persistence overlaps the combined phase and the next round's
+    fetch instead of sitting on the round barrier.
+
+    The group is a set of corpus shards (fetch tasks route each doc by
+    its landed page's corpus shard), so the payload take below only ever
+    touches partitions this group owns, with every row-group read
+    amortized over all of the round's rows landing in it — the corpus is
+    read ~once per round total instead of once per (fetch shard x
+    foreign-landing row).
+
+    The body re-render trades ~30 us CPU per doc for ~1 KB of object-store
+    traffic per doc (the fetch stage already proved body == render_page(
+    page_id) for every stored outcome — see fetchsim.simulate_fetch): at
+    32 workers the shared plasma store was the measured scaling ceiling.
 
     With ``verify_payload`` the per-row invariant from BASELINE.json
     input_hint runs inline: decoded pixels vs ground truth (exact for
     lossless, PSNR >= 40 dB for lossy), caption equality, phash equality.
     """
     _t0 = time.time()
-    if docs_tbl.num_rows == 0:
+    nonempty = [t for t in docs_tbls if t.num_rows]
+    if not nonempty:
         return {"n": 0, "t0": _t0, "t1": time.time()}
+    docs_tbl = (
+        nonempty[0] if len(nonempty) == 1 else pa.concat_tables(nonempty)
+    )
     from ..codecs import decode_image, perceptual_hash, psnr
 
     spec = ctx["spec"]
@@ -497,6 +579,7 @@ def write_docs_shard(
     page_ids = docs_tbl["page_id"].to_pylist()
     ids = [spec.image_id(p) for p in page_ids]
     payload = corpus.take(ids)
+    _t_take = time.time()
     ok_col = None
     if ctx["verify_payload"]:
         oks = []
@@ -521,7 +604,17 @@ def write_docs_shard(
                 )
             )
         ok_col = pa.array(oks, pa.int8())
+    _t_verify = time.time()
+    bodies = pa.array(
+        [
+            spec.render_page(p, spec.caption_of(p)).encode()
+            for p in page_ids
+        ],
+        pa.binary(),
+    )
     table = docs_tbl.drop_columns(["page_id"])
+    # content at index 2: keeps the docs-file column order of rounds 1-2
+    table = table.add_column(2, pa.field("content", pa.binary()), bodies)
     table = table.append_column("image_id", payload["image_id"])
     table = table.append_column("image_bytes", payload["bytes"])
     table = table.append_column("caption", payload["caption"])
@@ -531,8 +624,14 @@ def write_docs_shard(
     table = table.append_column("phash", payload["phash"])
     if ok_col is not None:
         table = table.append_column("payload_ok", ok_col)
-    _atomic_write(os.path.join(docs_dir, f"part-{shard:05d}.parquet"), table)
-    return {"n": table.num_rows, "t0": _t0, "t1": time.time()}
+    _t_render = time.time()
+    _atomic_write(os.path.join(docs_dir, f"part-{group:05d}.parquet"), table)
+    _t1 = time.time()
+    return {
+        "n": table.num_rows, "t0": _t0, "t1": _t1,
+        "t_take": _t_take - _t0, "t_verify": _t_verify - _t_take,
+        "t_render": _t_render - _t_verify, "t_write": _t1 - _t_render,
+    }
 
 
 def combined_round(
