@@ -190,6 +190,7 @@ def process_url(
     url: str,
     is_done: Callable[[str], bool],
     cookies: tuple[tuple[str, str], ...] = (),
+    fetch: Callable | None = None,
 ) -> ProcessOutcome:
     """The full worker iteration for one frontier URL (Crawl.hs:104-162).
 
@@ -199,7 +200,17 @@ def process_url(
     (Crawl.hs:106 readTVarIO getCookieList); each sub-fetch sends
     ``responseCookies ++ cookiesSent`` (Crawl.hs:124,137,149), and a stored
     outcome reports the final response's NEW cookies for round-end sharing.
+
+    ``fetch`` is the transport: ``(request, cookie_jar) -> FetchResult``.
+    Default is the synthetic-web ``simulate_fetch``; pass
+    ``livefetch.LiveFetcher(policy).fetch`` to run the identical chain
+    logic over real HTTP (the spec is then only consulted by the robots
+    gate, which short-circuits when ``policy.robots_enabled`` is False).
     """
+    if fetch is None:
+        def fetch(request, jar):
+            return simulate_fetch(spec, policy, request, jar)
+
     out = ProcessOutcome(url=url, status="failed")
 
     if not robots_allowed(spec, policy, url):
@@ -207,7 +218,7 @@ def process_url(
         return out
 
     sent = tuple(cookies)
-    fr = simulate_fetch(spec, policy, url, sent)
+    fr = fetch(url, sent)
     hops = 0
     while True:
         if not fr.ok:
@@ -270,7 +281,7 @@ def process_url(
             # resolution base stays the *original* nextUrl at every level
             # (Crawl.hs:132); moreCookies = responseCookies ++ cookiesSent
             sent = tuple(fr.set_cookies) + sent
-            fr = simulate_fetch(spec, policy, next_request, sent)
+            fr = fetch(next_request, sent)
             continue
 
         # 4. store (Crawl.hs:153,156-162)
