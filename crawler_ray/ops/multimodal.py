@@ -44,7 +44,22 @@ class ImageDecodeStage:
     def __init__(self):
         self.decode = decode_image  # real codec (deterministic fake formats)
 
+    OUT_SCHEMA = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("fmt", pa.string()),
+            ("h", pa.int32()),
+            ("w", pa.int32()),
+            ("brightness_e2", pa.int64()),
+            ("phash_ok", pa.int64()),
+        ]
+    )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty block: keeps every block's schema identical so
+            # the streaming executor never sees a schema flip
+            return self.OUT_SCHEMA.empty_table()
         ids, bright, verify, shapes = [], [], [], []
         for iid, data, ph in zip(
             batch["image_id"].to_pylist(),

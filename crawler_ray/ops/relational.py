@@ -61,8 +61,18 @@ def q1_pricing_summary(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] < pd.Timestamp("1998-06-01")]
         if df.empty:
+            # typed empty frame: an untyped (object-dtype) empty block
+            # makes Ray's streaming executor warn "RefBundle with a
+            # different schema" and disables block schema unification
             return pd.DataFrame(
-                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "n_rows"]
+                {
+                    "l_returnflag": pd.Series([], dtype="object"),
+                    "l_linestatus": pd.Series([], dtype="object"),
+                    "sum_qty": pd.Series([], dtype="int64"),
+                    "sum_base_cents": pd.Series([], dtype="int64"),
+                    "sum_disc_cents": pd.Series([], dtype="int64"),
+                    "n_rows": pd.Series([], dtype="int64"),
+                }
             )
         df = df.assign(
             qty=df["l_quantity"].round().astype("int64"),

@@ -68,6 +68,8 @@ from ..state.seen import make_shards
 from ..stages.fetch import (
     FRONTIER_SCHEMA,
     fetch_shard,
+    frontier_group_of,
+    n_frontier_groups,
     write_docs_group,
     write_frontier_shards,
 )
@@ -409,13 +411,21 @@ def crawl(
                 list(range(g, cfg.n_fetch_shards, n_groups))
                 for g in range(n_groups)
             ]
-        # a heavily-folded task would receive len(grp) x n_seen_shards
-        # object refs — at 256 shards folded into one task that is ~8k
-        # refs, whose resolution alone costs ~1.5 s; past ~512 refs the
-        # (batched, one-open-per-file) lineage read is cheaper
+        # frontier refs arrive as per-GROUP tables (stages/fetch.py
+        # n_frontier_groups); a heavily-folded task would need refs for
+        # many groups x n_seen_shards — past ~512 refs their resolution
+        # costs more than the (batched, one-open-per-file) lineage read
+        def _group_refs(grp):
+            gs = sorted({frontier_group_of(s, cfg.n_fetch_shards) for s in grp})
+            return [r[1 + g] for g in gs for r in prev_comb_rets], len(gs)
+
+        max_gs = max(
+            len({frontier_group_of(s, cfg.n_fetch_shards) for s in grp})
+            for grp in task_shards
+        )
         use_refs = (
             prev_comb_rets is not None
-            and (cfg.n_fetch_shards // n_groups) * cfg.n_seen_shards <= 512
+            and max_gs * cfg.n_seen_shards <= 512
         )
         fetch_rets = [
             _fetch_task.options(
@@ -423,11 +433,7 @@ def crawl(
             ).remote(
                 grp if len(grp) > 1 else grp[0],
                 ctx_ref, rnd, frontier_path, csnap,
-                *(
-                    [r[1 + s] for s in grp for r in prev_comb_rets]
-                    if use_refs
-                    else []
-                ),
+                *(_group_refs(grp)[0] if use_refs else []),
             )
             for grp in task_shards
         ]
@@ -452,7 +458,7 @@ def crawl(
         #     with combined execution instead of gating it.
         comb_rets = [
             shards[m].combined_round.options(
-                num_returns=1 + cfg.n_fetch_shards
+                num_returns=1 + n_frontier_groups(cfg.n_fetch_shards)
             ).remote(
                 cfg.n_fetch_shards, cfg.run_dir, rnd, next_path,
                 *[r[1 + G + m] for r in fetch_rets],
@@ -547,6 +553,7 @@ def crawl(
         )
 
         frontier_path = next_path
+        _write_status(cfg.run_dir, "running", rnd, frontier_rows, summary)
         rnd += 1
         if summary.quota_reached:
             break
@@ -565,8 +572,43 @@ def crawl(
 
     summary.rounds = rnd - start_round
     summary.frontier_exhausted = frontier_rows == 0
+    state = (
+        "halted" if summary.halted
+        else "quota" if summary.quota_reached
+        else "exhausted" if summary.frontier_exhausted
+        else "max_rounds"
+    )
+    _write_status(cfg.run_dir, state, rnd - 1, frontier_rows, summary)
     _write_run_manifest(cfg, summary)
     return summary
+
+
+def _write_status(run_dir: str, state: str, rnd: int, frontier_rows: int,
+                  summary: CrawlSummary) -> None:
+    """Live status surface (Service.hs:50-63 status/queueSize): refreshed
+    at every round boundary while the crawl runs, not just at commit —
+    readable by an operator mid-run. Atomic replace; no reader lock."""
+    s = {
+        "state": state,  # running | halted | quota | exhausted | max_rounds
+        "round": rnd,
+        "queue_size": frontier_rows,
+        "stored": summary.stored,
+        "fetched": summary.fetched,
+        "cookies": len(summary.cookies),
+    }
+    tmp = os.path.join(run_dir, "STATUS.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(s, f)
+    os.replace(tmp, os.path.join(run_dir, "STATUS.json"))
+
+
+def read_status(run_dir: str) -> dict | None:
+    """The last written live status of a run (None before round 0)."""
+    try:
+        with open(os.path.join(run_dir, "STATUS.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
 
 
 def _commit_round(

@@ -161,6 +161,37 @@ def partition_frontier(table: pa.Table, n_fetch_shards: int) -> list[pa.Table]:
     ]
 
 
+def n_frontier_groups(n_fetch_shards: int) -> int:
+    """Frontier-exchange group count: every Ray multi-return costs ~0.5 ms
+    of object-store create/bookkeeping, so combined actors return one
+    table per GROUP of fetch shards (with an explicit ``shard`` column for
+    the consumer-side filter) instead of one per shard — 257 returns per
+    combined call measured ~1 s of wall per drain round at 32 actors."""
+    return min(32, n_fetch_shards)
+
+
+def frontier_group_of(shard: int, n_fetch_shards: int) -> int:
+    gsize = -(-n_fetch_shards // n_frontier_groups(n_fetch_shards))
+    return shard // gsize
+
+
+def partition_frontier_groups(
+    table: pa.Table, n_fetch_shards: int
+) -> list[pa.Table]:
+    """One table per frontier GROUP, rows carrying their exact ``shard``
+    as a column (consumers filter; see n_frontier_groups)."""
+    taken, sorted_shard, bounds = _shard_sorted(table, n_fetch_shards)
+    taken = taken.append_column("shard", pa.array(sorted_shard, pa.int32()))
+    ng = n_frontier_groups(n_fetch_shards)
+    gsize = -(-n_fetch_shards // ng)
+    out = []
+    for g in range(ng):
+        lo = bounds[min(g * gsize, n_fetch_shards)]
+        hi = bounds[min((g + 1) * gsize, n_fetch_shards)]
+        out.append(taken.slice(lo, hi - lo))
+    return out
+
+
 def write_frontier_shards(
     table: pa.Table, frontier_dir: str, n_fetch_shards: int, origin: str
 ) -> None:
@@ -349,7 +380,17 @@ def fetch_shard(
         return done
 
     if frontier_parts:
-        mine = [t for t in frontier_parts if t.num_rows]
+        # group tables carry a shard column: filter to THIS task's shards
+        shard_set = pa.array(shards, pa.int32())
+        mine = []
+        for t in frontier_parts:
+            if t.num_rows == 0:
+                continue
+            t = t.filter(
+                pa.compute.is_in(t["shard"], value_set=shard_set)
+            ).drop_columns(["shard"])
+            if t.num_rows:
+                mine.append(t)
         group = pa.concat_tables(mine) if mine else None
     else:
         group = read_frontier_group(frontier_dir, shards)
@@ -654,9 +695,11 @@ def combined_round(
     oracle pops), then candidate insertIfNotDone with within-round dedup
     by minimal discovery key.
 
-    Returns (stats dict, *frontier partitions) -- one FRONTIER_SCHEMA
-    table per fetch shard, next round's object-store exchange at
-    per-consumer granularity (fetch task s takes only its own return).
+    Returns (stats dict, *frontier partitions) -- one shard-column-tagged
+    FRONTIER_SCHEMA table per frontier GROUP (n_frontier_groups, not one
+    per fetch shard: at 256 shards the 257 multi-returns per call cost
+    ~0.5 ms of object-store bookkeeping each, ~1 s of wall per drain
+    round); fetch task s filters its group tables to its own shard rows.
     Survivors are ALSO written as ONE lineage frontier file
     (row-group-partitioned by fetch shard) -- read only on resume. The
     shard's seen-delta checkpoint file is written LAST so a committed
@@ -725,13 +768,15 @@ def combined_round(
                 write_frontier_shards(
                     sub, next_frontier_dir, n_fetch_shards, f"from_{ss:05d}"
                 )
-                frontier_parts = partition_frontier(sub, n_fetch_shards)
+                frontier_parts = partition_frontier_groups(sub, n_fetch_shards)
             prof["t_write"] = time.time() - _t_task - sum(
                 prof[k] for k in ("t_read", "t_mut", "t_cand")
             )
     if frontier_parts is None:
-        empty = FRONTIER_SCHEMA.empty_table()
-        frontier_parts = [empty] * n_fetch_shards
+        empty = FRONTIER_SCHEMA.empty_table().append_column(
+            "shard", pa.array([], pa.int32())
+        )
+        frontier_parts = [empty] * n_frontier_groups(n_fetch_shards)
 
     # per-shard checkpoint delta (was a separate driver round-trip in r1)
     state.write_delta(delta_dir)

@@ -119,6 +119,83 @@ def test_ann_lsh_reads_only_probed_partitions(ray_session):
     assert frac < 0.6, f"probed fraction {frac:.2f} - not an index"
 
 
+def test_minhash_lsh_recall_vs_exact_jaccard(ray_session):
+    """Recall oracle for the LSH candidates (VERDICT r2 #3): over the
+    exact n-gram-Jaccard ground-truth slice (doc_id < 200, J3 >= 0.3),
+    observed recall must clear the floor the banding theory predicts.
+    The expected catch probability of a pair with 5-byte-shingle Jaccard
+    J5 under b=16 bands of r=4 rows is 1-(1-J5^4)^16; the floor is the
+    mean expectation over the ground-truth pairs minus a 0.15 margin
+    (hashing is deterministic, so 'observed' is a fixed quantity — the
+    test pins it against the derived bound, not luck)."""
+    import numpy as np
+
+    from crawler_ray.ops.dedup import JACCARD_SLICE, N_BANDS, N_HASHES
+
+    gt = _to_pandas(entrymod.queries()["ngram_jaccard_pairs"](SF_DIR))
+    cand = _to_pandas(entrymod.queries()["minhash_lsh_candidates"](SF_DIR))
+    got = set(zip(cand["a"].astype(int), cand["b"].astype(int)))
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    docs = docs[docs["doc_id"] < JACCARD_SLICE].set_index("doc_id")["text"]
+
+    def sh5(t: str) -> set:
+        b = t.encode()
+        return {b[i : i + 5] for i in range(max(1, len(b) - 4))}
+
+    shingles = {int(i): sh5(t) for i, t in docs.items()}
+    r = N_HASHES // N_BANDS
+    exps, hits = [], 0
+    for a, b in zip(gt["a"].astype(int), gt["b"].astype(int)):
+        sa, sb = shingles[a], shingles[b]
+        j5 = len(sa & sb) / len(sa | sb)
+        exps.append(1.0 - (1.0 - j5**r) ** N_BANDS)
+        hits += (a, b) in got
+    assert exps, "ground-truth slice is empty - test web too small"
+    recall = hits / len(exps)
+    floor = float(np.mean(exps)) - 0.15
+    assert recall >= floor, f"LSH recall {recall:.3f} below derived floor {floor:.3f}"
+
+
+def test_image_thumbnails_match_spec_ground_truth(ray_session):
+    """Value oracle for image_thumbnails (VERDICT r2 #4): recompute the
+    8x8 block-mean thumbnail from the spec's ground-truth pixels (via the
+    same encode/decode round trip the stage sees) for a sample of images
+    and assert byte equality."""
+    import numpy as np
+
+    from crawler_ray.codecs import decode_image, encode_image
+    from crawler_ray.ops.multimodal import corpus_for_sf, image_thumbnails
+    from crawler_ray.webgen import WebSpec
+    import pyarrow.parquet as pq
+
+    got = _to_pandas(image_thumbnails(SF_DIR)).set_index("image_id")["thumb"]
+    corpus = corpus_for_sf(SF_DIR)
+    n = pq.ParquetFile(corpus).metadata.num_rows
+    spec = WebSpec(n, max(8, n // 25), seed=42)
+
+    def block_mean_thumb(px: np.ndarray) -> bytes:
+        h, w, _ = px.shape
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        t = np.zeros((8, 8, 3), dtype=np.uint8)
+        for i in range(8):
+            for j in range(8):
+                t[i, j] = px[
+                    ys[i] : max(ys[i + 1], ys[i] + 1),
+                    xs[j] : max(xs[j + 1], xs[j] + 1),
+                ].mean(axis=(0, 1))
+        return t.tobytes()
+
+    for i in range(0, n, max(1, n // 64)):  # ~64-image sample
+        px = decode_image(encode_image(spec.pixels_of(i), spec.fmt_of(i)))
+        assert bytes(got.loc[spec.image_id(i)]) == block_mean_thumb(px), i
+
+
 def test_image_stats_matches_spec_ground_truth(ray_session):
     """Value oracle for image_stats: recompute per-format counts/means
     from the deterministic WebSpec directly (the corpus is not a DuckDB

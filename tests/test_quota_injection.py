@@ -245,6 +245,10 @@ def test_stop_verb_halts_and_resumes_exactly(ray_session, web, policy, tmp_path)
     s2 = resume_crawl(cfg_full)  # sees the sentinel at its first boundary
     assert s2.halted and not s2.frontier_exhausted
     assert os.path.exists(run / "inject" / "stop.consumed")
+    from crawler_ray.pipelines.crawl import read_status
+
+    st = read_status(str(run))  # live status surface (Service.hs status)
+    assert st["state"] == "halted" and st["queue_size"] > 0
     n_docs_at_stop = len(read_crawled(str(run)).to_pandas())
     s3 = resume_crawl(cfg_full)
     assert not s3.halted and s3.frontier_exhausted
@@ -252,6 +256,26 @@ def test_stop_verb_halts_and_resumes_exactly(ray_session, web, policy, tmp_path)
     assert docs_final == docs_golden
     assert len(docs_final) >= n_docs_at_stop
     assert golden.stored == len(docs_golden)
+
+
+def test_status_surface_tracks_run(ray_session, web, policy, tmp_path):
+    """STATUS.json (Service.hs:50-63 status/queueSize): refreshed at every
+    round boundary; terminal state recorded at exit."""
+    from crawler_ray.pipelines.crawl import read_status
+
+    spec, _ = web
+    run = tmp_path / "run"
+    assert read_status(str(run)) is None
+    s = crawl(_cfg(web, policy, run, [spec.url_of(i) for i in range(3)]))
+    st = read_status(str(run))
+    assert st["state"] == "exhausted"
+    assert st["queue_size"] == 0
+    assert st["stored"] == s.stored
+    assert st["fetched"] == s.fetched
+    # quota runs end in state=quota
+    run2 = tmp_path / "run2"
+    crawl(_cfg(web, policy, run2, [spec.url_of(i) for i in range(3)], limit=10))
+    assert read_status(str(run2))["state"] == "quota"
 
 
 def test_manifest_carries_cookie_state(ray_session, web, tmp_path):
