@@ -382,8 +382,44 @@ GROUP BY n_name
 
 
 
+def latest_order_per_customer(sf_dir: str):
+    """Windowed top-1 per key (ROW_NUMBER() OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1): bucketed shuffle on
+    the partition key, one vectorized sort + drop_duplicates per bucket —
+    the scale shape for any per-key window (all rows of a key meet in
+    exactly one bucket; no global sort)."""
+    from .common import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"],
+            ascending=[True, False, False],
+        ).drop_duplicates("o_custkey")
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype("int64"),
+                "o_orderkey": g["o_orderkey"].astype("int64"),
+                "total_cents": _cents(g["o_totalprice"].reset_index(drop=True)).values,
+            }
+        )
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    return bucketed_group_apply(ds, ["o_custkey"], per_bucket, n_buckets=16)
+
+
+LATEST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "latest_order_per_customer": (latest_order_per_customer, LATEST_ORDER_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "nation_rollup": (nation_rollup, NATION_ROLLUP_SQL),

@@ -130,8 +130,59 @@ def fingerprints(sf_dir: str):
 FINGERPRINTS_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
 
 
+TOP_TOKENS_K = 50
+
+
+def top_tokens(sf_dir: str):
+    """Corpus-wide token frequency top-K: per-batch partial counts
+    (combiner BEFORE the shuffle — the batch collapses to at most
+    vocab-size rows), bucketed exact sum per token, per-bucket top-K,
+    then a K x n_buckets driver merge. The canonical wide word-count
+    shape: nothing crosses the wire but (token, partial_count) rows."""
+    import numpy as np
+
+    from .common import bucketed_group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.concatenate(
+            [np.array(_WORD.findall(t.lower()), dtype=object) for t in df["text"]]
+        ) if len(df) else np.array([], dtype=object)
+        if not len(words):
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        uniq, counts = np.unique(words, return_counts=True)
+        return pd.DataFrame({"token": uniq, "n": counts.astype("int64")})
+
+    def per_bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["n"].sum()
+        # local top-K is safe: every row of a token lives in one bucket
+        return s.sort_values(["n", "token"], ascending=[False, True]).head(
+            TOP_TOKENS_K
+        )
+
+    parts = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
+    cand = bucketed_group_apply(parts, ["token"], per_bucket_topk, n_buckets=16)
+    out = cand.to_pandas()  # <= 16 x K rows
+    return (
+        out.sort_values(["n", "token"], ascending=[False, True])
+        .head(TOP_TOKENS_K)
+        .reset_index(drop=True)
+    )
+
+
+TOP_TOKENS_SQL = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
+"""
+
+
 QUERIES = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "fingerprints": (fingerprints, FINGERPRINTS_SQL),
