@@ -87,13 +87,18 @@ def q1_pricing_summary(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-        Sum("n_rows", alias_name="n_rows"),
+    # bounded key cardinality (6 flag/status groups): the per-batch
+    # combiner already collapsed every block to <= 6 rows, so the final
+    # combine is a (6 x n_blocks)-row driver fold — the treeAggregate
+    # shape. (A Ray groupby here would be an all-to-all whose empty key
+    # ranges emit schema-less blocks — the RefBundle warnings of r2.)
+    out = partials.to_pandas()
+    return (
+        out.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .sum()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
     )
-    return _ints(agg, ["sum_qty", "sum_base_cents", "sum_disc_cents", "n_rows"])
 
 
 Q1_SQL = """
