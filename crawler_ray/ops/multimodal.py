@@ -128,15 +128,27 @@ class ImageResizeStage:
         for data in batch["bytes"].to_pylist():
             px = decode_image(data)
             h, w, _ = px.shape
-            ys = (np.arange(9) * h) // 8
-            xs = (np.arange(9) * w) // 8
-            t = np.zeros((8, 8, 3), dtype=np.uint8)
-            for i in range(8):
-                for j in range(8):
-                    t[i, j] = px[
-                        ys[i] : max(ys[i + 1], ys[i] + 1),
-                        xs[j] : max(xs[j + 1], xs[j] + 1),
-                    ].mean(axis=(0, 1))
+            if h % 8 == 0 and w % 8 == 0:
+                # vectorized block means (every corpus dim is a multiple
+                # of 8; the round-2 per-cell Python loop cost 585 us per
+                # image — 12 core-s per sf0.1 pass). Integer sums are
+                # exact in float64, so values are identical to the
+                # general path below
+                t = (
+                    px.reshape(8, h // 8, 8, w // 8, 3)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+            else:
+                ys = (np.arange(9) * h) // 8
+                xs = (np.arange(9) * w) // 8
+                t = np.zeros((8, 8, 3), dtype=np.uint8)
+                for i in range(8):
+                    for j in range(8):
+                        t[i, j] = px[
+                            ys[i] : max(ys[i + 1], ys[i] + 1),
+                            xs[j] : max(xs[j + 1], xs[j] + 1),
+                        ].mean(axis=(0, 1))
             thumbs.append(t.tobytes())
         return pa.table(
             {
