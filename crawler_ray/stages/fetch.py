@@ -608,7 +608,7 @@ def write_docs_group(
     docs_tbl = (
         nonempty[0] if len(nonempty) == 1 else pa.concat_tables(nonempty)
     )
-    from ..codecs import decode_image, perceptual_hash, psnr
+    from ..codecs import decode_image, perceptual_hash
 
     spec = ctx["spec"]
     corpus = _corpus(ctx["corpus_path"])
@@ -623,27 +623,53 @@ def write_docs_group(
     _t_take = time.time()
     ok_col = None
     if ctx["verify_payload"]:
-        oks = []
-        for pid, data, cap, ph, fmt in zip(
-            page_ids,
-            payload["bytes"].to_pylist(),
-            payload["caption"].to_pylist(),
-            payload["phash"].to_pylist(),
-            payload["fmt"].to_pylist(),
-        ):
-            px = decode_image(data)
-            truth = spec.pixels_of(pid)
+        # the per-row invariant, batched by (h, w, fmt): PSNR / equality /
+        # phash run as one stacked numpy pass per shape group instead of
+        # per image (tiny-array numpy call overhead measured ~250 us/doc
+        # under 32-way load, >40% of the docs stage). Values are
+        # bit-identical to the per-image formulation: integer sums are
+        # exact in float64 and every corpus dim is a multiple of 8.
+        datas = payload["bytes"].to_pylist()
+        caps = payload["caption"].to_pylist()
+        phs = payload["phash"].to_pylist()
+        fmts = payload["fmt"].to_pylist()
+        ws = payload["w"].to_pylist()
+        hs = payload["h"].to_pylist()
+        oks = np.zeros(len(page_ids), dtype=np.int8)
+        by_shape: dict[tuple, list[int]] = {}
+        for j, (h, w, fmt) in enumerate(zip(hs, ws, fmts)):
+            by_shape.setdefault((h, w, fmt), []).append(j)
+        for (h, w, fmt), idxs in by_shape.items():
+            truths = np.stack([spec.pixels_of(page_ids[j]) for j in idxs])
+            decs = np.stack([decode_image(datas[j]) for j in idxs])
+            n = len(idxs)
             if fmt == "jpeg":
-                pix_ok = psnr(truth, px) >= 40.0
+                d = truths.astype(np.int64) - decs
+                mse = (d * d).sum(axis=(1, 2, 3)) / d[0].size
+                with np.errstate(divide="ignore"):
+                    pix_ok = np.where(
+                        mse == 0, True,
+                        10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-300)) >= 40.0,
+                    )
             else:
-                pix_ok = np.array_equal(truth, px)
-            oks.append(
-                int(
-                    pix_ok
-                    and cap == spec.caption_of(pid)
-                    and perceptual_hash(truth) == ph
+                pix_ok = (truths == decs).all(axis=(1, 2, 3))
+            if h % 8 == 0 and w % 8 == 0:
+                g = truths.mean(axis=3, dtype=np.float64)
+                blocks = g.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+                bits = blocks > blocks.mean(axis=(1, 2), keepdims=True)
+                packed = np.packbits(bits.reshape(n, 64), axis=1)
+                ph_t = [
+                    v - 2**64 if v >= 2**63 else v
+                    for v in (int.from_bytes(row.tobytes(), "big") for row in packed)
+                ]
+            else:  # pragma: no cover - corpus dims are 8-divisible
+                ph_t = [perceptual_hash(t) for t in truths]
+            for k, j in enumerate(idxs):
+                oks[j] = int(
+                    bool(pix_ok[k])
+                    and caps[j] == spec.caption_of(page_ids[j])
+                    and ph_t[k] == phs[j]
                 )
-            )
         ok_col = pa.array(oks, pa.int8())
     _t_verify = time.time()
     bodies = pa.array(

@@ -109,6 +109,34 @@ def test_payload_invariant(ray_session, web, policy, tmp_path):
         assert row["phash"] is not None
 
 
+def test_inline_verify_payload_column(ray_session, web, policy, tmp_path):
+    """verify_payload=True: the docs sink's BATCHED invariant (shape-
+    grouped PSNR / exact pixels / phash, stages/fetch.py) must agree with
+    the per-image formulation — every stored doc gets payload_ok=1 on an
+    untampered corpus, covering all three formats."""
+    spec, _ = web
+    seeds = [spec.url_of(i) for i in range(4)]
+    _run_engine(web, policy, tmp_path / "run", seeds, verify_payload=True)
+    docs = read_crawled(str(tmp_path / "run")).to_pandas()
+    assert len(docs) > 50
+    assert set(docs["fmt"]) == {"bmp", "png", "jpeg"}  # all codecs hit
+    assert (docs["payload_ok"] == 1).all()
+    # cross-check a sample against the per-image reference formulation
+    from crawler_ray.codecs import perceptual_hash
+
+    for _, row in docs.head(24).iterrows():
+        pid = int(row["image_id"][3:])
+        expect = spec.pixels_of(pid)
+        got = decode_image(row["image_bytes"])
+        ok = (
+            (psnr(expect, got) >= 40.0 if row["fmt"] == "jpeg"
+             else np.array_equal(expect, got))
+            and row["caption"] == spec.caption_of(pid)
+            and perceptual_hash(expect) == row["phash"]
+        )
+        assert ok == bool(row["payload_ok"])
+
+
 def test_determinism_across_shard_counts(ray_session, web, policy, tmp_path):
     """Metamorphic: different fetch/seen shard counts -> identical outputs."""
     spec, _ = web
