@@ -20,13 +20,13 @@ Data exchange, round-2 layout (re-planned after measuring round 1):
   tiny ext4 creates+renames per round) cost more core-seconds than the
   crawl's real work and caused journal-flush stalls.
 - meta (fetch -> combined, intra-round only): Arrow tables through the
-  OBJECT STORE — fetch task ``s`` multi-returns (stats, docs_table,
-  meta_ss0 .. meta_ss{M-1}) with ``num_returns=2+n_seen_shards``;
-  combined actor ``m`` receives exactly the (2+m)-th return ref of every
-  fetch task (per-consumer granularity: a consumer deserializes only its
-  own slice, never the whole exchange). No files: resume reruns an
-  uncommitted round from its frontier files, so meta needs no
-  durability.
+  OBJECT STORE — fetch task ``s`` multi-returns (stats, docs_g0 ..
+  docs_g{G-1}, meta_ss0 .. meta_ss{M-1}) with
+  ``num_returns=1+n_docs_groups+n_seen_shards``; combined actor ``m``
+  receives exactly the (1+G+m)-th return ref of every fetch task
+  (per-consumer granularity: a consumer deserializes only its own slice,
+  never the whole exchange). No files: resume reruns an uncommitted
+  round from its frontier files, so meta needs no durability.
 - the docs returns carry METADATA ONLY — url/chain/host/seq/hops/
   page_id, never the content body. The body is a pure function of
   (spec, page_id), so the docs task re-renders it instead of shipping
@@ -150,15 +150,6 @@ def _shard_sorted(
     sorted_shard = shard[order]
     bounds = np.searchsorted(sorted_shard, np.arange(n_fetch_shards + 1))
     return table.take(pa.array(order, pa.int64())), sorted_shard, bounds
-
-
-def partition_frontier(table: pa.Table, n_fetch_shards: int) -> list[pa.Table]:
-    """Split frontier rows into one table per host-hash fetch shard."""
-    taken, _, bounds = _shard_sorted(table, n_fetch_shards)
-    return [
-        taken.slice(bounds[s], bounds[s + 1] - bounds[s])
-        for s in range(n_fetch_shards)
-    ]
 
 
 def n_frontier_groups(n_fetch_shards: int) -> int:
