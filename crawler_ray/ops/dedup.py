@@ -538,8 +538,77 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def dedup_keep_list(sf_dir: str):
+    """The end-to-end dedup DELIVERABLE: the doc_ids a training run keeps
+    after (1) exact-content dedup (min doc_id per content hash wins) and
+    (2) near-duplicate cluster dedup (min doc_id per connected component
+    of the exact-Jaccard graph wins; the bounded doc_id < JACCARD_SLICE
+    slice, same edges as dedup_clusters).
+
+    Scale shape: stage (1) is the bucketed content-hash shuffle; stage
+    (2)'s cluster map is SMALL relative to the corpus (only docs in
+    near-dup components), so it broadcasts via ray.put and applies as an
+    in-stream filter — composition without a join shuffle. At 100 TB the
+    cluster map comes from MinHash-LSH candidates -> dedup_clusters
+    unchanged."""
+    import ray
+
+    clusters = dedup_clusters(sf_dir)  # (doc_id, cluster_id), bounded slice
+    losers = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+    )
+    losers_ref = ray.put(losers)
+
+    def exact_keepers(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("fp", as_index=False)["doc_id"].min()
+        return keep[["doc_id"]]
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fp": df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()),
+            }
+        )
+
+    def drop_near_dups(df: pd.DataFrame) -> pd.DataFrame:
+        lose = ray.get(losers_ref)
+        return df[~df["doc_id"].isin(lose)].reset_index(drop=True)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hash_batch, batch_format="pandas"
+    )
+    kept = bucketed_group_apply(ds, ["fp"], exact_keepers)
+    return kept.map_batches(drop_near_dups, batch_format="pandas")
+
+
+DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE pairs AS (
+{NGRAM_JACCARD_SQL}
+), edges AS (
+  SELECT a AS node, b AS peer FROM pairs
+  UNION ALL
+  SELECT b AS node, a AS peer FROM pairs
+), nodes AS (
+  SELECT doc_id FROM documents WHERE doc_id < {JACCARD_SLICE}
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.peer FROM reach r JOIN edges e ON e.node = r.dst
+), clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT k.doc_id FROM exact_keep k
+LEFT JOIN clusters c ON c.doc_id = k.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_keep_list": (dedup_keep_list, DEDUP_KEEP_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, None),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),

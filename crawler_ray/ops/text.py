@@ -180,9 +180,102 @@ GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
 """
 
 
+MIN_WORDS = 20
+MAX_STOP_PCT = 60
+MIN_CHARS = 80
+
+
+def quality_filter(sf_dir: str):
+    """C4-style rule-based quality gate: per-doc pass/fail per rule plus
+    the final keep flag (docs kept iff every rule passes). Pure streaming
+    map_batches — the canonical first stage of a training-data pipeline;
+    rules share one tokenize pass per batch."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.lower().map(_WORD.findall)
+        n_words = words.map(len).astype("int64")
+        n_stop = words.map(lambda ws: sum(w in STOPWORDS for w in ws)).astype("int64")
+        stop_pct = (100 * n_stop // n_words.clip(lower=1)).astype("int64")
+        n_chars = df["text"].str.len().astype("int64")
+        ok_len = (n_words >= MIN_WORDS).astype("int64")
+        ok_stop = (stop_pct <= MAX_STOP_PCT).astype("int64")
+        ok_chars = (n_chars >= MIN_CHARS).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "ok_len": ok_len,
+                "ok_stop": ok_stop,
+                "ok_chars": ok_chars,
+                "keep": (ok_len & ok_stop & ok_chars).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+QUALITY_FILTER_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                            x -> x IN ('the','a','of','and','to'))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words >= {MIN_WORDS} AS BIGINT) AS ok_len,
+       CAST(CAST(FLOOR(100.0 * n_stop / GREATEST(n_words, 1)) AS BIGINT)
+            <= {MAX_STOP_PCT} AS BIGINT) AS ok_stop,
+       CAST(n_chars >= {MIN_CHARS} AS BIGINT) AS ok_chars,
+       CAST(n_words >= {MIN_WORDS}
+            AND CAST(FLOOR(100.0 * n_stop / GREATEST(n_words, 1)) AS BIGINT)
+                <= {MAX_STOP_PCT}
+            AND n_chars >= {MIN_CHARS} AS BIGINT) AS keep
+FROM w
+"""
+
+
+SPLIT_TRAIN_PCT = 90
+
+
+def dataset_split(sf_dir: str):
+    """Deterministic train/validation split by content-independent key
+    hash (md5 of the doc_id string, first byte mod 100): reproducible
+    across runs and engines, no RNG, no shuffle — the standard way to
+    split a 100 TB corpus without materializing an ordering."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        bucket = df["doc_id"].map(
+            lambda d: hashlib.md5(str(int(d)).encode()).digest()[0] % 100
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "split": pd.Series(
+                    ["train" if b < SPLIT_TRAIN_PCT else "valid" for b in bucket],
+                    index=df.index,
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(f, batch_format="pandas")
+
+
+DATASET_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                      AS INTEGER) % 100 < {SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'valid' END AS split
+FROM documents
+"""
+
+
 QUERIES = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "top_tokens": (top_tokens, TOP_TOKENS_SQL),
+    "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
+    "dataset_split": (dataset_split, DATASET_SPLIT_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "fingerprints": (fingerprints, FINGERPRINTS_SQL),
