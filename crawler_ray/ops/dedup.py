@@ -372,6 +372,124 @@ FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
 """
 
 
+HAMMING_T = 3
+N_SIM_BANDS = 4  # 16 bits each; pigeonhole: hamming <= 3 -> >= 1 equal band
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy < 2 has no bitwise_count)."""
+    return _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_near_pairs(sf_dir: str):
+    """EXACT whole-corpus Hamming-ball near-dup search over SimHash
+    fingerprints: every pair with hamming(simhash_a, simhash_b) <=
+    HAMMING_T, found distributed WITHOUT an all-pairs pass. 4 bands of 16
+    bits: a pair within hamming 3 differs in at most 3 bands, so it
+    SHARES at least one exact band (pigeonhole) — recall is exactly 1,
+    which is why this operator has a full DuckDB value oracle
+    (bit_count(xor(...)) self-join) unlike the probabilistic MinHash
+    candidates. Each pair is emitted once, in its first equal band (the
+    minhash exactly-once trick); verification inside the bucket is a
+    vectorized XOR+popcount. Output (a, b, hamming)."""
+
+    sigs = simhash_fingerprints(sf_dir)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band": pd.Series([], dtype="int32"),
+                    "band_val": pd.Series([], dtype="int64"),
+                    "simhash": pd.Series([], dtype="int64"),
+                }
+            )
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        parts = []
+        for b in range(N_SIM_BANDS):
+            bv = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df["doc_id"].to_numpy(),
+                        "band": np.full(len(df), b, dtype=np.int32),
+                        "band_val": bv.astype(np.int64),
+                        "simhash": df["simhash"].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(["band", "band_val", "doc_id"], kind="mergesort")
+        band = g["band"].to_numpy()
+        bval = g["band_val"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = (band[1:] != band[:-1]) | (bval[1:] != bval[:-1])
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, len(g)))
+        out = []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            offs = starts[sizes == k]
+            idx = offs[:, None] + np.arange(k)[None, :]
+            iu, ju = np.triu_indices(k, 1)
+            ai = idx[:, iu].ravel()
+            bi = idx[:, ju].ravel()
+            x = sh[ai] ^ sh[bi]
+            hd = _popcount64(x)
+            # first equal band of the PAIR (exactly-once emission)
+            band_eq = np.stack(
+                [
+                    ((x >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
+                    for b in range(N_SIM_BANDS)
+                ],
+                axis=1,
+            )
+            keep = (hd <= HAMMING_T) & (band_eq.argmax(axis=1) == band[ai])
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[ai][keep],
+                            "b": ids[bi][keep],
+                            "hamming": hd[keep],
+                        }
+                    )
+                )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True).astype("int64")
+
+    expanded = sigs.map_batches(expand, batch_format="pandas")
+    return bucketed_group_apply(expanded, ["band", "band_val"], pairs_per_bucket)
+
+
+SIMHASH_NEAR_SQL = f"""
+WITH s AS (
+{SIMHASH_SQL}
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+"""
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs over vec_id < 300: brute-force
     double-precision cosine (numpy matmul against a broadcast matrix),
@@ -612,6 +730,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, None),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
+    "simhash_near_pairs": (simhash_near_pairs, SIMHASH_NEAR_SQL),
     "embedding_dup_pairs": (embedding_dup_pairs, EMBEDDING_DUP_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }
