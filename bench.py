@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "token_counts",
     "dedup_exact",
     "minhash_lsh_candidates",
+    "simhash_near_pairs",
+    "quality_filter",
     "ann_topk",
     "image_stats",
 ]
