@@ -19,7 +19,6 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..codecs import decode_image, perceptual_hash
-from .common import pool_size
 from ..webgen import ensure_web
 
 
@@ -97,8 +96,14 @@ def image_stats(sf_dir: str):
     empty key ranges emitted schema-less blocks)."""
     corpus = corpus_for_sf(sf_dir)
     ds = rd.read_parquet(corpus, columns=["image_id", "bytes", "fmt", "phash"])
+    # instance => task mode on warm workers: the toy codec has no real
+    # init cost, and at this corpus size a fresh actor pool's ~2 s import
+    # spin-up exceeded the stage's 1.9 core-s of decode work. A heavy
+    # decoder (the deployment case) flips this to class-mode
+    # (map_batches(ImageDecodeStage, concurrency=pool_size())) — the
+    # class already has the actor-pool __init__/__call__ shape.
     feats = ds.map_batches(
-        ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=pool_size()
+        ImageDecodeStage(), batch_format="pyarrow", batch_size=256
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -161,8 +166,9 @@ class ImageResizeStage:
 def image_thumbnails(sf_dir: str):
     corpus = corpus_for_sf(sf_dir)
     ds = rd.read_parquet(corpus, columns=["image_id", "bytes"])
+    # task mode for the same reason as image_stats (see note there)
     return ds.map_batches(
-        ImageResizeStage, batch_format="pyarrow", batch_size=256, concurrency=pool_size()
+        ImageResizeStage(), batch_format="pyarrow", batch_size=256
     )
 
 
