@@ -23,12 +23,17 @@ from .common import pool_size
 
 N_QUERIES = 8
 TOP_K = 10
-# multi-table LSH: L independent 6-bit tables, multi-probe Hamming<=1.
+# multi-table LSH: L independent 8-bit tables, multi-probe Hamming<=1.
 # Per-bit agreement for a near neighbor p = 1 - theta/pi; per table
-# P(probe hits) = p^6 + 6 p^5 (1-p); union over 4 tables puts recall
-# ~0.8 for p~0.67 while each table's probe set is 7/64 of its partitions.
-LSH_BITS = 6
-N_TABLES = 4
+# P(probe hits) = p^8 + 8 p^7 (1-p); union over 8 tables keeps recall
+# above the floor while each query's probe set is 9/256 of a table's
+# partitions. Round-3 retune (measured on both test tiers): the round-2
+# (6-bit, 4-table) config probed 58-65% of the index because 8 queries x
+# 7 probes nearly covered the 64 buckets/table — an index that reads 2/3
+# of the corpus is barely an index. (8, 8) measures recall 0.62-0.64
+# with probed fraction 0.28-0.29.
+LSH_BITS = 8
+N_TABLES = 8
 RECALL_FLOOR = 0.6
 
 
@@ -181,7 +186,13 @@ def _ensure_lsh_index(sf_dir: str) -> tuple[str, int]:
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    bucketed.write_parquet(tmp, partition_cols=["t", "b"])
+    # one write per table: pyarrow caps a single partitioned write at
+    # 1024 partitions and N_TABLES x 2^LSH_BITS exceeds it; per-table
+    # writes keep the identical t=X/b=Y hive layout
+    for t in range(N_TABLES):
+        bucketed.filter(lambda r, _t=t: r["t"] == _t).write_parquet(
+            tmp, partition_cols=["t", "b"]
+        )
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"n_rows": n_rows}, f)
     shutil.rmtree(idx_dir, ignore_errors=True)
