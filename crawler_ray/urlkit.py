@@ -96,6 +96,19 @@ def _strip_default_port(scheme: str, netloc: str) -> str:
     return netloc
 
 
+# conservative already-canonical detector (fast path): lowercase http(s)
+# scheme, lowercase host WITHOUT a port, a path/query with no percent
+# escapes, no dots (so dot-segment removal is identity), no fragment.
+# Anything it matches is a fixed point of the full normalization below —
+# it may only ever say "no" to a canonical URL, never "yes" to a
+# non-canonical one (property-tested against the full path in
+# tests/test_urlkit.py).
+_ALREADY_CANONICAL = re.compile(
+    r"^https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)*"
+    r"(/[A-Za-z0-9_\-/]*)?(\?[A-Za-z0-9_\-=&]+)?$"
+)
+
+
 def canonicalise(url: str, discard_fragments: bool = True) -> str | None:
     """Canonicalise an absolute URL string; None if not an absolute URI.
 
@@ -105,6 +118,12 @@ def canonicalise(url: str, discard_fragments: bool = True) -> str | None:
     if url is None:
         return None
     url = url.strip()
+    if _ALREADY_CANONICAL.match(url):
+        # hot path: the overwhelming majority of crawl-discovered URLs are
+        # already canonical (measured ~30% of per-URL fetch CPU went to
+        # re-normalizing them); the full path below is the reference
+        # semantics and handles everything the detector declines
+        return url
     if discard_fragments:
         h = url.find("#")
         if h != -1:

@@ -100,3 +100,71 @@ def test_include_patterns():
     d = IncludePatterns(domain_patterns=frozenset(["x.test"]))
     assert d.accepts("http://sub.x.test/anything")
     assert not d.accepts("http://y.test/x.test")  # domain only, not path
+
+
+def test_canonical_fast_path_equals_full_path():
+    """The already-canonical detector may only ever return what the full
+    normalization would: compare both paths over synthetic-web hrefs plus
+    adversarial vectors (the fast path is bypassed by neutering its
+    regex)."""
+    import re
+
+    from crawler_ray import urlkit
+    from crawler_ray.html import get_raw_hrefs, parse_tags
+    from crawler_ray.webgen import WebSpec
+
+    spec = WebSpec(500, 20, 42)
+    urls = []
+    for i in range(200):
+        urls.append(spec.url_of(i))
+        body = spec.render_page(i, spec.caption_of(i))
+        for raw in get_raw_hrefs(parse_tags(body)):
+            urls.append(raw)
+            urls.append("http://host0.test/" + raw.lstrip("/"))
+    urls += [
+        "HTTP://Host3.TEST:80/page/7", "http://h.test/a/../b",
+        "http://h.test/%7Euser", "http://h.test/%41bc", "http://h.test",
+        "http://h.test/", "http://h.test/p?q=1&r=2", "http://h.test/p#frag",
+        "https://h.test:443/x", "http://h.test/a/./b", "http://h.test/a b",
+        "mailto:x@y.z", "not a url", "", "http://", "ftp://h.test/x",
+        "http://h.test/trailing.", "http://UPPER.test/p",
+        "http://h.test/page/1?x=%20y",
+    ]
+    never = re.compile(r"(?!x)x")  # matches nothing
+    orig = urlkit._ALREADY_CANONICAL
+    try:
+        for u in urls:
+            fast = urlkit.canonicalise(u)
+            urlkit._ALREADY_CANONICAL = never
+            full = urlkit.canonicalise(u)
+            urlkit._ALREADY_CANONICAL = orig
+            assert fast == full, (u, fast, full)
+    finally:
+        urlkit._ALREADY_CANONICAL = orig
+
+
+def test_canonical_fast_path_fuzz():
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_ray import urlkit
+
+    never = re.compile(r"(?!x)x")
+    orig = urlkit._ALREADY_CANONICAL
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet="abzAZ019:/.%#?&=~_- \t", max_size=48))
+    def check(s):
+        for u in (s, "http://" + s, "http://h.test/" + s, "https://H.te/" + s):
+            fast = urlkit.canonicalise(u)
+            urlkit._ALREADY_CANONICAL = never
+            full = urlkit.canonicalise(u)
+            urlkit._ALREADY_CANONICAL = orig
+            assert fast == full, (u, fast, full)
+
+    try:
+        check()
+    finally:
+        urlkit._ALREADY_CANONICAL = orig
