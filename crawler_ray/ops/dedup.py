@@ -2,9 +2,14 @@
 
 - exact (content-hash groupby, first-doc-wins),
 - char-n-gram Jaccard pair similarity (SQL-oracled on a bounded slice),
-- MinHash + LSH banding near-dup candidates (scale path; rows-only oracle),
-- SimHash fingerprints + near-pairs (rows-only oracle),
-- embedding-cosine near-dup pairs (SQL-oracled via double-precision dot).
+- MinHash + LSH banding near-dup candidates (scale path; rows-only driver
+  oracle + a banding-theory recall floor asserted in tests),
+- SimHash fingerprints (full SQL value oracle via md5 bit ops) and
+  simhash_near_pairs — EXACT whole-corpus Hamming<=3 search via 16-bit
+  band pigeonhole, full bit_count(xor) SQL oracle,
+- embedding-cosine near-dup pairs (SQL-oracled via double-precision dot),
+- dedup_clusters (distributed hash-min connected components) and
+  dedup_keep_list (the composed exact+near-dup keep set).
 
 Scale shapes (ray_guide 'Aggregation at scale'): hashing/shingling is
 per-batch vectorized work; the only shuffles are groupbys on hash keys
