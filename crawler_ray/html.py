@@ -29,26 +29,51 @@ _ATTR_RE = re.compile(
 )
 
 
-@dataclass
 class Tag:
-    close: bool
-    name: str  # lowercased
-    attrs: list[tuple[str, str]]  # original-case keys, unquoted values
+    """One parsed tag. ``attrs`` (original-case keys, unquoted values) is
+    parsed lazily from the raw attribute blob on first access — most tags'
+    attributes are never inspected (only a/meta/form/input are), and the
+    attribute regex was ~60% of tokenizer CPU in the crawl hot path."""
+
+    __slots__ = ("close", "name", "_blob", "_attrs")
+
+    def __init__(self, close: bool, name: str, blob: str = "", attrs=None):
+        self.close = close
+        self.name = name
+        self._blob = blob
+        self._attrs = attrs
+
+    @property
+    def attrs(self) -> list[tuple[str, str]]:
+        a = self._attrs
+        if a is None:
+            a = []
+            if not self.close and self._blob:
+                for am in _ATTR_RE.finditer(self._blob):
+                    k = am.group(1)
+                    v = am.group(2) or ""
+                    if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+                        v = v[1:-1]
+                    a.append((k, v))
+            self._attrs = a
+        return a
+
+    def __repr__(self) -> str:  # debugging / test-failure readability
+        return f"Tag(close={self.close}, name={self.name!r}, attrs={self.attrs!r})"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Tag)
+            and self.close == other.close
+            and self.name == other.name
+            and self.attrs == other.attrs
+        )
 
 
 def parse_tags(html: str) -> list[Tag]:
     tags: list[Tag] = []
     for m in _TAG_RE.finditer(html):
-        close, name, attrblob = m.group(1), m.group(2), m.group(3)
-        attrs: list[tuple[str, str]] = []
-        if not close and attrblob:
-            for am in _ATTR_RE.finditer(attrblob):
-                k = am.group(1)
-                v = am.group(2) or ""
-                if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
-                    v = v[1:-1]
-                attrs.append((k, v))
-        tags.append(Tag(bool(close), name.lower(), attrs))
+        tags.append(Tag(bool(m.group(1)), m.group(2).lower(), m.group(3)))
     return tags
 
 

@@ -16,6 +16,7 @@ by image_id for index-style lookup (lance-take equivalent).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 from dataclasses import dataclass
@@ -36,10 +37,31 @@ _FMTS = ("png", "jpeg", "bmp")
 _DIMS = (16, 32, 48, 64)
 
 
+_blake2b = hashlib.blake2b
+_from_bytes = int.from_bytes
+
+
 def _h(*parts) -> int:
     """Stable 64-bit hash of the argument tuple."""
-    key = ":".join(str(p) for p in parts).encode()
-    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")
+    key = ":".join(map(str, parts)).encode()
+    return _from_bytes(_blake2b(key, digest_size=8).digest(), "big")
+
+
+# Arity-specialized, memoized variants of _h for the render/resolve hot
+# path (bit-identical to _h — asserted in tests/test_webgen_oracle.py).
+# process_url spends ~25% of its CPU in _h at crawl bench scale; f-string
+# key building cuts ~40% of the per-call cost and ~20% of keys repeat
+# in-process (page i is referenced again as another page's outlink).
+@functools.lru_cache(maxsize=1 << 17)
+def _h3(a, b, c) -> int:
+    return _from_bytes(_blake2b(f"{a}:{b}:{c}".encode(), digest_size=8).digest(), "big")
+
+
+@functools.lru_cache(maxsize=1 << 17)
+def _h4(a, b, c, d) -> int:
+    return _from_bytes(
+        _blake2b(f"{a}:{b}:{c}:{d}".encode(), digest_size=8).digest(), "big"
+    )
 
 
 @dataclass(frozen=True)
@@ -50,14 +72,14 @@ class WebSpec:
 
     # ---- structure ----------------------------------------------------
     def host_of(self, i: int) -> int:
-        u = (_h(self.seed, "host", i) % (1 << 20)) / (1 << 20)
+        u = (_h3(self.seed, "host", i) % (1 << 20)) / (1 << 20)
         return min(self.n_hosts - 1, int(self.n_hosts * u * u))  # quadratic skew
 
     def is_private(self, i: int) -> bool:
-        return _h(self.seed, "priv", i) % 100 < 5
+        return _h3(self.seed, "priv", i) % 100 < 5
 
     def kind_of(self, i: int) -> str:
-        r = _h(self.seed, "kind", i) % 100
+        r = _h3(self.seed, "kind", i) % 100
         if r < 72:
             return "plain"
         if r < 82:
@@ -73,8 +95,8 @@ class WebSpec:
         return f"http://host{self.host_of(i)}.test/{pfx}page/{i}"
 
     def outlink_targets(self, i: int) -> list[int]:
-        n_out = 2 + _h(self.seed, "nout", i) % 5
-        return [_h(self.seed, "out", i, j) % self.n_pages for j in range(n_out)]
+        n_out = 2 + _h3(self.seed, "nout", i) % 5
+        return [_h4(self.seed, "out", i, j) % self.n_pages for j in range(n_out)]
 
     def redirect_chain(self, i: int) -> tuple[list[str], int]:
         """(chain urls in VISIT order: requested, hops..., landed), landed page.
@@ -85,8 +107,8 @@ class WebSpec:
         (equals head of the reference's internal order, WarcDocument.hs:27-29
         takes ``last redirectChain`` of visited = requested... see warc.py).
         """
-        n_hops = 1 + _h(self.seed, "nhops", i) % 2
-        target = _h(self.seed, "rt", i) % self.n_pages
+        n_hops = 1 + _h3(self.seed, "nhops", i) % 2
+        target = _h3(self.seed, "rt", i) % self.n_pages
         chain = [self.url_of(i)]
         chain += [
             f"http://host{self.host_of(i)}.test/hop/{i}/{k}" for k in range(n_hops)
@@ -95,7 +117,7 @@ class WebSpec:
         return chain, target
 
     def meta_target(self, i: int) -> int:
-        return _h(self.seed, "meta", i) % self.n_pages
+        return _h3(self.seed, "meta", i) % self.n_pages
 
     def direction_target(self, i: int) -> int:
         # direction target constrained to same host so the relative href resolves
@@ -120,7 +142,7 @@ class WebSpec:
         return ("admin", f"secret{self.seed}")
 
     def session_cookie(self, host_idx: int) -> tuple[str, str]:
-        return (f"sess{host_idx}", f"tok{_h(self.seed, 'tok', host_idx) % 10**8}")
+        return (f"sess{host_idx}", f"tok{_h3(self.seed, 'tok', host_idx) % 10**8}")
 
     def page_gated(self, i: int, cookies: tuple[tuple[str, str], ...]) -> bool:
         """True if page ``i`` is session-gated AND ``cookies`` lacks its
@@ -137,7 +159,7 @@ class WebSpec:
         """Render outlink j of page i in one of several messy styles; all
         canonicalise back to url_of(target) (or resolve relative)."""
         url = self.url_of(target)
-        style = _h(self.seed, "style", i, j) % 6
+        style = _h4(self.seed, "style", i, j) % 6
         if style == 1:
             return url.replace("http://", "HTTP://", 1)
         if style == 2:
@@ -164,9 +186,9 @@ class WebSpec:
         body = [f"<p>{caption}</p>", f'<img src="/img/{i}">']
         for j, t in enumerate(self.outlink_targets(i)):
             body.append(f'<a href="{self._style_link(i, j, t)}">link{j}</a>')
-        if _h(self.seed, "mailto", i) % 10 == 0:
+        if _h3(self.seed, "mailto", i) % 10 == 0:
             body.append('<a href="mailto:noreply@example.test">mail</a>')
-        if _h(self.seed, "badhref", i) % 17 == 0:
+        if _h3(self.seed, "badhref", i) % 17 == 0:
             body.append('<a href="http://">broken</a>')
         if kind == "form":
             body.append(
@@ -217,7 +239,7 @@ class WebSpec:
             return ("notfound", None, no_cookies)
         path = rest[dot + len(".test") :]
         if path == "/submitLogin":
-            target = _h(self.seed, "submit", h) % self.n_pages
+            target = _h3(self.seed, "submit", h) % self.n_pages
             set_cookies = no_cookies
             if self.is_session_host(h):
                 p = dict(params)
@@ -250,18 +272,18 @@ class WebSpec:
 
     def caption_of(self, i: int) -> str:
         words = [
-            _VOCAB[_h(self.seed, "cap", i, k) % len(_VOCAB)] for k in range(4)
+            _VOCAB[_h4(self.seed, "cap", i, k) % len(_VOCAB)] for k in range(4)
         ]
         return f"caption for img{i:08d} " + " ".join(words)
 
     def pixels_of(self, i: int) -> np.ndarray:
         rng = np.random.Generator(np.random.PCG64(self.seed * 1_000_003 + i))
-        d = _h(self.seed, "dim", i)
+        d = _h3(self.seed, "dim", i)
         w, h = _DIMS[d % 4], _DIMS[(d >> 8) % 4]
         return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
     def fmt_of(self, i: int) -> str:
-        return _FMTS[_h(self.seed, "fmt", i) % 3]
+        return _FMTS[_h3(self.seed, "fmt", i) % 3]
 
     def corpus_row(self, i: int) -> dict:
         px = self.pixels_of(i)

@@ -55,6 +55,20 @@ def test_webspec_deterministic_and_resolves():
     assert SPEC.resolve("http://elsewhere.com/x") == ("notfound", None)
 
 
+def test_h3_h4_bit_identical_to_h():
+    # the memoized arity-specialized hashes must agree with the generic
+    # tuple hash for every key shape the spec uses
+    from crawler_ray.webgen import _h, _h3, _h4
+
+    for tag in ("host", "priv", "kind", "nout", "nhops", "rt", "meta", "tok",
+                "mailto", "badhref", "submit", "dim", "fmt"):
+        for i in (0, 1, 17, 123456789):
+            assert _h3(42, tag, i) == _h(42, tag, i)
+    for tag in ("out", "style", "cap"):
+        for i, j in ((0, 0), (5, 3), (999, 1)):
+            assert _h4(42, tag, i, j) == _h(42, tag, i, j)
+
+
 def test_webspec_kind_mix():
     kinds = collections.Counter(SPEC.kind_of(i) for i in range(300))
     assert set(kinds) == {"plain", "redirect", "meta_refresh", "form", "direction"}
