@@ -609,8 +609,10 @@ def write_docs_group(
     os.makedirs(docs_dir, exist_ok=True)
 
     page_ids = docs_tbl["page_id"].to_pylist()
-    ids = [spec.image_id(p) for p in page_ids]
-    payload = corpus.take(ids)
+    if hasattr(corpus, "take_pages"):
+        payload = corpus.take_pages(page_ids)
+    else:
+        payload = corpus.take([spec.image_id(p) for p in page_ids])
     _t_take = time.time()
     ok_col = None
     if ctx["verify_payload"]:
