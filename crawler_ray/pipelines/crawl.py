@@ -427,12 +427,21 @@ def crawl(
             prev_comb_rets is not None
             and max_gs * cfg.n_seen_shards <= 512
         )
+        # round-start guard snapshots: each seen actor publishes its
+        # sorted url-hash array to the object store. Actor-mailbox
+        # ordering puts these after the previous round's combined_round,
+        # so the arrays are exactly the state the fetch phase must see
+        # (the seen set is frozen until this round's combined). Passed to
+        # fetch tasks as refs-in-a-list: resolved lazily, per shard, by
+        # the first trap-guard query that needs one — no fetch task ever
+        # blocks on a seen actor again.
+        snap_refs = [s.snapshot_hashes.remote() for s in shards]
         fetch_rets = [
             _fetch_task.options(
                 num_returns=1 + G + cfg.n_seen_shards
             ).remote(
                 grp if len(grp) > 1 else grp[0],
-                ctx_ref, rnd, frontier_path, csnap,
+                ctx_ref, rnd, frontier_path, csnap, snap_refs,
                 *(_group_refs(grp)[0] if use_refs else []),
             )
             for grp in task_shards
@@ -515,7 +524,10 @@ def crawl(
             "comb_task_max": round(max(c_secs), 3),
             "fetch_phases": {
                 k: round(sum(r.get(k, 0.0) for r in stats1), 2)
-                for k in ("t_read", "t_proc", "t_docs", "t_meta", "t_guard", "n_guard")
+                for k in (
+                    "t_read", "t_proc", "t_docs", "t_meta", "t_guard",
+                    "n_guard", "t_cpu",
+                )
             },
             "fetch_spans": [
                 (round(r["t0"], 3), round(r["t1"], 3)) for r in stats1

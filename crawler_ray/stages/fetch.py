@@ -240,6 +240,7 @@ def fetch_shard(
     round_idx: int,
     frontier_dir: str,
     cookies: tuple,
+    snap_refs,
     *frontier_parts: pa.Table,
 ) -> dict:
     """Process one GROUP of fetch shards' frontier rows (raw Ray task
@@ -254,7 +255,10 @@ def fetch_shard(
     ``ctx`` is the crawl-constant context (spec, policy, corpus_path,
     seen_handles, shard counts, run_dir, flags) put to the object store
     ONCE per crawl and shared by every task of every round. ``cookies`` is
-    the round-start cookie snapshot (Crawl.hs:106).
+    the round-start cookie snapshot (Crawl.hs:106). ``snap_refs`` is the
+    list of per-seen-shard round-start guard-snapshot ObjectRefs (sorted
+    url-hash arrays; see ``is_done`` below) — passed inside a list so a
+    task resolves only the shards its meta-refresh guards actually query.
 
     ``frontier_parts``, when given, are THIS shard's frontier rows: the
     (1+shard)-th multi-return of each previous-round combined_round actor
@@ -351,24 +355,46 @@ def fetch_shard(
             )
         return (stats, *docs_tables, *tables)
 
-    guard_cache: dict[str, bool] = {}
+    # meta-refresh trap-guard reads (checkNotDone, Crawl.hs:138): answered
+    # from the round-start seen SNAPSHOT — per-shard sorted url-hash
+    # arrays the seen actors published to the object store when the round
+    # began (state/seen.py snapshot_hashes). The seen set is frozen for
+    # the whole fetch phase (mutations only apply in the combined phase),
+    # so the snapshot is exact; reading it is a zero-copy plasma get the
+    # first time a task needs a shard, instead of a blocking actor
+    # round-trip that serialized every fetch task against the seen actors
+    # (measured ~12 core-s/large round, with multi-second whole-round
+    # stalls whenever deferred docs/delta work kept an actor's mailbox
+    # busy). ``snap_refs`` absent (None) falls back to blocking
+    # status_many calls.
+    snap_cache: dict[int, np.ndarray] = {}
     guard_wait = [0.0, 0]  # accumulated blocking time, call count
 
     def is_done(url: str) -> bool:
-        hit = guard_cache.get(url)
-        if hit is not None:
-            return hit
         h = url_hash(url)
+        m = h % n_seen_shards
+        if snap_refs is not None:
+            if not snap_cache:
+                # first guard query: resolve ALL shard snapshots in one
+                # plasma get (they were published at round start and are
+                # long since ready — one batched get beats 32 sequential
+                # ~0.8 ms gets, measured ~6 core-s/large round)
+                _t0 = time.time()
+                snap_cache.update(enumerate(ray.get(list(snap_refs))))
+                guard_wait[0] += time.time() - _t0
+                guard_wait[1] += 1
+            arr = snap_cache[m]
+            j = int(np.searchsorted(arr, np.uint64(h)))
+            return j < len(arr) and int(arr[j]) == h
         _t0 = time.time()
         [code] = ray.get(
-            seen_handles[h % n_seen_shards].status_many.remote(
+            seen_handles[m].status_many.remote(
                 [url], np.array([h], dtype=np.uint64)
             )
         )
         guard_wait[0] += time.time() - _t0
         guard_wait[1] += 1
-        guard_cache[url] = done = code != 0
-        return done
+        return code != 0
 
     if frontier_parts:
         # group tables carry a shard column: filter to THIS task's shards
@@ -409,37 +435,7 @@ def fetch_shard(
         key=lambda i: (host_col[i], _ph[i], _ps[i], _li[i]),
     )
 
-    # --- trap-guard prefetch: the meta-refresh targets this shard will
-    #     query are predictable from the spec (page kind + meta target;
-    #     one redirect hop deep). Resolve them in ONE async status_many
-    #     sweep per seen shard instead of a ~4.5 ms blocking actor
-    #     round-trip per URL inside the fetch loop (measured 130 core-s
-    #     per sf0.1 crawl, 26% of fetch work). Any unpredicted target
-    #     (direction/form chains) still falls back to the blocking path.
-    guard_urls: set[str] = set()
-    for i in order:
-        kind, pid = spec.resolve(url_col[i])
-        if pid is None:
-            continue
-        k = spec.kind_of(pid)
-        if k == "redirect":
-            _, pid = spec.redirect_chain(pid)
-            k = spec.kind_of(pid)
-        if k == "meta_refresh":
-            guard_urls.add(spec.url_of(spec.meta_target(pid)))
-    if guard_urls:
-        by_ss_urls: dict[int, list[str]] = {}
-        for u in guard_urls:
-            by_ss_urls.setdefault(url_hash(u) % n_seen_shards, []).append(u)
-        refs = {
-            m: seen_handles[m].status_many.remote(
-                us, np.array([url_hash(u) for u in us], dtype=np.uint64)
-            )
-            for m, us in by_ss_urls.items()
-        }
-        for m, ref in refs.items():
-            for u, code in zip(by_ss_urls[m], ray.get(ref)):
-                guard_cache[u] = code != 0
+    _cpu0 = time.process_time()
 
     meta_rows: list[tuple] = []  # rows of META_SCHEMA
     docs: list[dict] = []
@@ -500,6 +496,7 @@ def fetch_shard(
         # 'excluded' / 'meta_trap': stays in_progress; nothing emitted
 
     _t_proc = time.time() - _t_task - _t_read
+    _t_cpu = time.process_time() - _cpu0
     _atomic_write(
         os.path.join(order_dir, f"part-{shard:05d}.parquet"),
         pa.table(
@@ -554,6 +551,7 @@ def fetch_shard(
             "t_meta": 0.0,
             "t_guard": guard_wait[0],
             "n_guard": guard_wait[1],
+            "t_cpu": _t_cpu,
             "t0": _t_task,
             "t1": time.time(),
         },

@@ -9,8 +9,10 @@ so the common negative — "never seen this URL" — is answered from the filter
 without touching the dict.
 
 Round protocol (matches the oracle's mutation convention, oracle.py):
-- during a round's fetch phase the shards are READ-ONLY (``status_many`` —
-  used by the meta-refresh trap guard);
+- during a round's fetch phase the shards are READ-ONLY: the meta-refresh
+  trap guard reads the per-shard ``snapshot_hashes`` arrays published to
+  the object store at round start (``status_many`` remains the exact
+  string-keyed fallback / test surface);
 - at round end the driver first applies completions/failures
   (``apply_terminal``), then candidate inserts (``check_and_insert``).
 
@@ -44,6 +46,14 @@ class SeenShardLocal:
         self.cuckoo = CuckooFilter(capacity)
         self.bloom = BloomFilter(max(1024, capacity), 0.01)
         self._delta: list[tuple[str, int]] = []
+        # url-hash mirror of ``status``'s key set, serving the per-round
+        # read-only guard snapshot (``snapshot_hashes``): fetch tasks
+        # answer the meta-refresh trap guard from a plasma-shared sorted
+        # array instead of a blocking actor round-trip. Hash-keyed like
+        # the fronting filters; a 64-bit blake2b collision (odds ~n^2/2^64
+        # per shard) could flip one guard answer — the exact dict remains
+        # the authority for every mutation path.
+        self._hset: set[int] = set()
 
     # -- internal -------------------------------------------------------
     def _maybe_in(self, hashes: np.ndarray) -> np.ndarray:
@@ -56,6 +66,7 @@ class SeenShardLocal:
         prev = self.status.get(url)
         self.status[url] = code
         self._delta.append((url, code))
+        self._hset.add(int(h))
         if prev is None:
             arr = np.array([h], dtype=np.uint64)
             self.cuckoo.add_many(arr)
@@ -83,12 +94,14 @@ class SeenShardLocal:
                 if u in self.status:
                     del self.status[u]
                     self._delta.append((u, 0))
+                    self._hset.discard(int(h))
                 # filters may keep a stale 'maybe'; the exact dict decides
             else:
                 if self.status.get(u) is None:
                     new_hashes.append(h)
                 self.status[u] = int(op)
                 self._delta.append((u, int(op)))
+                self._hset.add(int(h))
         if new_hashes:
             arr = np.asarray(new_hashes, dtype=np.uint64)
             self.cuckoo.add_many(arr)
@@ -106,10 +119,13 @@ class SeenShardLocal:
         """S.delete from in-progress (Crawl.hs:173) for frontier URLs whose
         final chain did NOT include them (sub-fetch quirk): the URL becomes
         unseen again and may be re-enqueued later."""
+        from ..urlkit import url_hash
+
         for u in urls:
             if self.status.get(u) == IN_PROGRESS:
                 del self.status[u]
                 self._delta.append((u, 0))
+                self._hset.discard(url_hash(u))
                 # filters may yield a false 'maybe'; the exact dict decides.
 
     def check_and_insert(self, urls: list[str], hashes: np.ndarray) -> list[bool]:
@@ -127,6 +143,7 @@ class SeenShardLocal:
                     new_hashes.append(h)
                 self.status[u] = IN_PROGRESS
                 self._delta.append((u, IN_PROGRESS))
+                self._hset.add(int(h))
                 out.append(True)
         if new_hashes:
             arr = np.asarray(new_hashes, dtype=np.uint64)
@@ -185,10 +202,22 @@ class SeenShardLocal:
 
         for u, c in zip(table["url"].to_pylist(), table["status"].to_pylist()):
             if c == 0:
-                self.status.pop(u, None)
+                if self.status.pop(u, None) is not None:
+                    self._hset.discard(url_hash(u))
             else:
                 self._remember(u, url_hash(u), int(c))
         self._delta = []
+
+    def snapshot_hashes(self) -> np.ndarray:
+        """Sorted url-hash array of every currently-known URL — the
+        round-start read-only guard snapshot. Published to the object
+        store once per round; fetch tasks answer ``is_done`` with a
+        binary search on the plasma-shared array instead of a blocking
+        ``status_many`` actor call (which serialized every fetch task
+        against this actor's mailbox at round start; measured ~12 core-s
+        per large round, with multi-second tail stalls when a round's
+        deferred docs/delta work kept the actor busy)."""
+        return np.sort(np.fromiter(self._hset, dtype=np.uint64, count=len(self._hset)))
 
     def counts(self) -> dict[str, int]:
         vals = list(self.status.values())

@@ -84,6 +84,37 @@ def test_seen_shard_delta_restore_roundtrip():
     assert b.status == a.status
 
 
+def test_snapshot_hashes_mirrors_status():
+    """The guard snapshot (sorted url-hash array) must track the status
+    dict through every mutation path: insert, terminal overwrite,
+    delete-op, in-progress release, and delta restore."""
+    from crawler_ray.urlkit import url_hash
+
+    s = SeenShardLocal(0, capacity=1 << 12)
+    urls = [f"http://h.test/{i}" for i in range(80)]
+    hs = np.array([url_hash(u) for u in urls], dtype=np.uint64)
+
+    def expect():
+        want = np.sort(
+            np.array([url_hash(u) for u in s.status], dtype=np.uint64)
+        )
+        got = s.snapshot_hashes()
+        assert got.dtype == np.uint64
+        assert np.array_equal(got, want)
+
+    s.check_and_insert(urls, hs)
+    expect()
+    s.apply_terminal(urls[:30], hs[:30], [COMPLETED] * 30)
+    expect()  # overwrites add no duplicate hashes
+    s.apply_mutations(urls[30:40], hs[30:40], [0] * 10)  # deletes
+    expect()
+    s.remove_in_progress(urls[40:45])
+    expect()
+    b = SeenShardLocal(0)
+    b.restore(s.snapshot_delta().select(["url", "status"]))
+    assert np.array_equal(b.snapshot_hashes(), s.snapshot_hashes())
+
+
 def test_warc_entry_layout():
     entry = warc_entry(["http://h.test/landed", "http://h.test/requested"], b"BODY")
     text = entry.decode()
