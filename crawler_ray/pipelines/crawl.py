@@ -403,7 +403,14 @@ def crawl(
         # sf0.1 crawl, and a serial multi-second tail in the drain
         # rounds). Grouping is a pure function of frontier_rows, so
         # reruns and resumes regroup identically.
-        n_groups = min(cfg.n_fetch_shards, max(1, frontier_rows // 400))
+        # Upper cap 128: a 256-task round pays ~2.6 ms driver submission
+        # and ~32 ms of multi-return object creation PER TASK (65 returns
+        # x ~0.5 ms); folding big rounds 256 -> 128 tasks halves that
+        # fixed cost while per-task work (~1-3k URLs) still swamps skew.
+        # The cap is a constant — NOT derived from the cluster size — so
+        # the job stays bit-identical across cpu levels (scaling
+        # protocol) and regroups identically on resume.
+        n_groups = min(cfg.n_fetch_shards, 128, max(1, frontier_rows // 400))
         if n_groups == cfg.n_fetch_shards:
             task_shards = [[s] for s in range(cfg.n_fetch_shards)]
         else:
@@ -411,14 +418,15 @@ def crawl(
                 list(range(g, cfg.n_fetch_shards, n_groups))
                 for g in range(n_groups)
             ]
-        # frontier refs arrive as per-GROUP tables (stages/fetch.py
-        # n_frontier_groups); a heavily-folded task would need refs for
-        # many groups x n_seen_shards — past ~512 refs their resolution
-        # costs more than the (batched, one-open-per-file) lineage read
-        def _group_refs(grp):
-            gs = sorted({frontier_group_of(s, cfg.n_fetch_shards) for s in grp})
-            return [r[1 + g] for g in gs for r in prev_comb_rets], len(gs)
-
+        # frontier refs arrive as per-GROUP table-ref PACKS (stages/
+        # fetch.py n_frontier_groups): one ray.put per frontier group
+        # wrapping that group's table ref from every combined actor.
+        # Tasks sharing a frontier group reuse the identical pack object,
+        # so the driver serializes each group's n_seen_shards refs once
+        # per round instead of once per task. A heavily-folded task would
+        # still unwrap refs for many groups x n_seen_shards — past ~512
+        # their in-task resolution costs more than the (batched,
+        # one-open-per-file) lineage read.
         max_gs = max(
             len({frontier_group_of(s, cfg.n_fetch_shards) for s in grp})
             for grp in task_shards
@@ -427,6 +435,15 @@ def crawl(
             prev_comb_rets is not None
             and max_gs * cfg.n_seen_shards <= 512
         )
+        if use_refs:
+            fpacks = [
+                ray.put([r[1 + g] for r in prev_comb_rets])
+                for g in range(n_frontier_groups(cfg.n_fetch_shards))
+            ]
+
+        def _task_packs(grp):
+            gs = sorted({frontier_group_of(s, cfg.n_fetch_shards) for s in grp})
+            return [fpacks[g] for g in gs]
         # round-start guard snapshots: each seen actor publishes its
         # sorted url-hash array to the object store. Actor-mailbox
         # ordering puts these after the previous round's combined_round,
@@ -434,15 +451,17 @@ def crawl(
         # (the seen set is frozen until this round's combined). Passed to
         # fetch tasks as refs-in-a-list: resolved lazily, per shard, by
         # the first trap-guard query that needs one — no fetch task ever
-        # blocks on a seen actor again.
-        snap_refs = [s.snapshot_hashes.remote() for s in shards]
+        # blocks on a seen actor again. The ref list itself ships as ONE
+        # ray.put object: serializing 32 refs into every task invocation
+        # measured ~1 ms/task of driver-serial submission time.
+        snap_pack = ray.put([s.snapshot_hashes.remote() for s in shards])
         fetch_rets = [
             _fetch_task.options(
                 num_returns=1 + G + cfg.n_seen_shards
             ).remote(
                 grp if len(grp) > 1 else grp[0],
-                ctx_ref, rnd, frontier_path, csnap, snap_refs,
-                *(_group_refs(grp)[0] if use_refs else []),
+                ctx_ref, rnd, frontier_path, csnap, snap_pack,
+                _task_packs(grp) if use_refs else None,
             )
             for grp in task_shards
         ]

@@ -241,7 +241,7 @@ def fetch_shard(
     frontier_dir: str,
     cookies: tuple,
     snap_refs,
-    *frontier_parts: pa.Table,
+    frontier_packs=None,
 ) -> dict:
     """Process one GROUP of fetch shards' frontier rows (raw Ray task
     body). ``shards_of_task`` is an int (one shard — the usual case) or a
@@ -255,16 +255,21 @@ def fetch_shard(
     ``ctx`` is the crawl-constant context (spec, policy, corpus_path,
     seen_handles, shard counts, run_dir, flags) put to the object store
     ONCE per crawl and shared by every task of every round. ``cookies`` is
-    the round-start cookie snapshot (Crawl.hs:106). ``snap_refs`` is the
-    list of per-seen-shard round-start guard-snapshot ObjectRefs (sorted
-    url-hash arrays; see ``is_done`` below) — passed inside a list so a
-    task resolves only the shards its meta-refresh guards actually query.
+    the round-start cookie snapshot (Crawl.hs:106). ``snap_refs`` is one
+    ray.put ObjectRef wrapping the list of per-seen-shard round-start
+    guard-snapshot refs (sorted url-hash arrays; see ``is_done`` below),
+    resolved only if the task's meta-refresh guards actually query it.
 
-    ``frontier_parts``, when given, are THIS shard's frontier rows: the
-    (1+shard)-th multi-return of each previous-round combined_round actor
-    call, zero-copy through the object store. When absent (round 0 after
-    seeding, or the first round of a resume), the shard's rows are read
-    from the frontier_dir lineage files instead.
+    ``frontier_packs``, when given, carry THIS task's frontier rows: one
+    pack ObjectRef per frontier group the task's shards map to, each pack
+    holding the group's table refs from every previous-round
+    combined_round actor call, zero-copy through the object store. Tasks
+    in the same frontier group share the identical pack object, so the
+    driver serializes each group's 32 table refs once per round (one
+    ray.put) instead of once per task (~1 ms/task of driver-serial
+    submission). When absent (round 0 after seeding, or the first round
+    of a resume), the shard's rows are read from the frontier_dir
+    lineage files instead.
 
     Returns a (1 + n_docs_groups + n_seen_shards)-tuple for Ray
     multi-return: a stats dict {shard, n_proc, n_docs, shared_cookies,
@@ -365,8 +370,9 @@ def fetch_shard(
     # round-trip that serialized every fetch task against the seen actors
     # (measured ~12 core-s/large round, with multi-second whole-round
     # stalls whenever deferred docs/delta work kept an actor's mailbox
-    # busy). ``snap_refs`` absent (None) falls back to blocking
-    # status_many calls.
+    # busy). ``snap_refs`` is ONE ray.put ref wrapping the per-shard
+    # snapshot refs (driver serializes the list once per round, not once
+    # per task); absent (None) falls back to blocking status_many calls.
     snap_cache: dict[int, np.ndarray] = {}
     guard_wait = [0.0, 0]  # accumulated blocking time, call count
 
@@ -380,6 +386,9 @@ def fetch_shard(
                 # long since ready — one batched get beats 32 sequential
                 # ~0.8 ms gets, measured ~6 core-s/large round)
                 _t0 = time.time()
+                # snap_refs arrives as the unwrapped list (Ray resolves
+                # the top-level pack ref at dispatch); the inner refs
+                # resolve here, in one batched plasma get
                 snap_cache.update(enumerate(ray.get(list(snap_refs))))
                 guard_wait[0] += time.time() - _t0
                 guard_wait[1] += 1
@@ -396,7 +405,12 @@ def fetch_shard(
         guard_wait[1] += 1
         return code != 0
 
-    if frontier_parts:
+    if frontier_packs:
+        # unwrap: pack refs -> per-group lists of table refs -> tables
+        # (all plasma-local gets; every ref was ready before this round's
+        # tasks were submitted — the driver waits on combined stats)
+        part_refs = [r for pack in ray.get(list(frontier_packs)) for r in pack]
+        frontier_parts = ray.get(part_refs)
         # group tables carry a shard column: filter to THIS task's shards
         shard_set = pa.array(shards, pa.int32())
         mine = []
