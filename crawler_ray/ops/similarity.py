@@ -4,10 +4,15 @@
   Query matrix broadcast once (ray.put), per-batch numpy matmul, per-batch
   partial top-k, tiny final merge. SQL oracle via double-precision dot in
   DuckDB (window rank).
-- ``ann_lsh``: random-hyperplane LSH bucketed search — the scale path
+- ``ann_lsh``: random-hyperplane LSH bucketed search — a scale path
   (touches only bucket+probe rows instead of the full corpus per query).
   Approximate: rows-only oracle; recall vs the exact baseline is asserted
   in tests.
+- ``ann_ivf``: inverted-file (k-means-cell-partitioned) search — the
+  data-adaptive scale path: sample-trained centroids + one distributed
+  Lloyd refinement, corpus partitioned by nearest cell, queries read only
+  their ``IVF_NPROBE`` nearest cells. Same approximate contract as
+  ``ann_lsh``.
 """
 
 from __future__ import annotations
@@ -271,7 +276,204 @@ def ann_lsh(sf_dir: str):
     return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id"]).astype("int64")
 
 
+# --- IVF (inverted-file) ANN: the centroid-partitioned scale path -------
+# Complements ann_lsh: LSH partitions by random-hyperplane signature
+# (data-independent), IVF by learned k-means cells (data-adaptive — tighter
+# cells when the corpus is clustered, as embedding corpora invariably are).
+# Standard IVF practice (FAISS): train centroids on a bounded SAMPLE, then
+# assign the full corpus distributedly — training cost is O(sample), never
+# O(corpus), so the same code path holds at 100 TB.
+# Parameter note: the synthetic embeddings are near-uniform on the sphere
+# (measured: mean top-10-neighbor cos 0.30 vs 0.00 overall; `label` is
+# geometrically uncorrelated) — the hardest case for ANY cell-probing ANN.
+# (16, 6) measures recall 0.71-0.81 across the test tiers at a per-query
+# probed fraction of 6/16 = 0.375; on a real clustered embedding corpus
+# the same structure probes far less for the same recall.
+IVF_CLUSTERS = 16
+IVF_NPROBE = 6
+IVF_TRAIN_CAP = 4096
+IVF_RECALL_FLOOR = 0.6
+
+
+def _spherical_kmeans(sample: np.ndarray, k: int, iters: int = 15) -> np.ndarray:
+    """Driver-side spherical k-means on the (bounded) training sample.
+    Rows must be L2-normalized; returns (k, dim) normalized centroids."""
+    rng = np.random.Generator(np.random.PCG64(1543))
+    cent = sample[rng.choice(len(sample), size=k, replace=len(sample) < k)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _ensure_ivf_index(sf_dir: str) -> tuple[str, int, np.ndarray]:
+    """Build (once, cached) the centroid-PARTITIONED vector index: one
+    parquet directory per k-means cell under hive-style c=<cell> paths.
+
+    Three stages, each with the 100 TB shape:
+      1. train — driver k-means over a deterministic sample (<= IVF_TRAIN_CAP
+         rows via vec_id stride; sample-bounded regardless of corpus size);
+      2. refine — ONE full-corpus Lloyd step as a map_batches partial
+         aggregation (per-batch per-cell vector sums + counts -> a
+         (k x dim)-float driver reduce), so the cells reflect the whole
+         corpus, not just the sample, while the driver only ever sees
+         k x dim floats;
+      3. assign+write — map_batches argmax against the broadcast centroids,
+         write partitioned by cell.
+    Returns (index_dir, total_rows, centroids)."""
+    import hashlib
+    import json
+    import shutil
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:ivf:{IVF_CLUSTERS}:{IVF_TRAIN_CAP}:v1".encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/crawler_ray_cache/ivfidx_{key}"
+    meta = os.path.join(idx_dir, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        return idx_dir, m["n_rows"], np.asarray(m["centroids"], dtype=np.float64)
+
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    stride = max(1, n_rows // IVF_TRAIN_CAP)
+
+    def take_sample(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].to_numpy() % stride == 0]
+
+    sample = np.stack(
+        ds.map_batches(take_sample, batch_format="pandas")
+        .to_pandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _spherical_kmeans(sample, IVF_CLUSTERS)
+
+    # one distributed Lloyd refinement pass over the FULL corpus
+    ref0 = ray.put(cent)
+
+    def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref0)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(mat @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(c))
+        return pd.DataFrame(
+            {"cell": range(len(c)), "count": counts, "vsum": list(sums)}
+        )
+
+    parts = ds.map_batches(
+        partial_sums, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # k rows per input batch — tiny by construction
+    sums = np.zeros_like(cent)
+    counts = np.zeros(len(cent), dtype=np.int64)
+    for _, r in parts.iterrows():
+        sums[int(r["cell"])] += np.asarray(r["vsum"])
+        counts[int(r["cell"])] += int(r["count"])
+    nz = counts > 0
+    cent[nz] = sums[nz] / counts[nz, None]
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    # distributed assign + partitioned write
+    ref1 = ray.put(cent)
+
+    def assign_cells(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref1)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        # cell twice: hive partition col lives only in the path, and the
+        # query side reads an explicit probed-file list (drops path cols)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"],
+                "c": cell,
+                "cc": cell,
+                "embedding": df["embedding"],
+            }
+        )
+
+    tmp = idx_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(assign_cells, batch_format="pandas", batch_size=4096).write_parquet(
+        tmp, partition_cols=["c"]
+    )
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"n_rows": n_rows, "centroids": cent.tolist()}, f)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.replace(tmp, idx_dir)
+    return idx_dir, n_rows, cent
+
+
+def ann_ivf(sf_dir: str):
+    """IVF top-k: each query probes only its IVF_NPROBE nearest k-means
+    cells; ONLY those cell partitions are read; candidates score only for
+    the queries that probed their cell; per-query merge of the tiny
+    partials. Approximate by design -> rows-only driver oracle; recall vs
+    the exact ann_topk baseline and probed-rows fraction are asserted in
+    tests (same contract as ann_lsh)."""
+    import glob as _glob
+
+    qm, qids = _query_matrix(sf_dir)
+    idx_dir, total_rows, cent = _ensure_ivf_index(sf_dir)
+
+    qcells = np.argsort(-(qm @ cent.T), axis=1)[:, :IVF_NPROBE]
+    probes: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in qcells[qi]:
+            probes.setdefault(int(c), []).append(qi)
+    paths = []
+    for c in sorted(probes):
+        d = os.path.join(idx_dir, f"c={c}")
+        if os.path.isdir(d):
+            paths.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    ref = ray.put((qm, qids, probes))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m, ids, pr = ray.get(ref)
+        rows = []
+        for c, g in df.groupby("cc", observed=True):
+            want = pr.get(int(c))
+            if not want:
+                continue
+            cand = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+            vids = g["vec_id"].to_numpy()
+            for qi in want:
+                s = m[qi] @ cand.T
+                mask = vids != ids[qi]
+                sv, mv = s[mask], vids[mask]
+                order = np.lexsort((mv, -sv))[:TOP_K]
+                for j in order:
+                    rows.append((int(ids[qi]), float(sv[j]), int(mv[j])))
+        return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])
+
+    probed = rd.read_parquet(paths)
+    rows_read = probed.count()
+    frac = rows_read / max(1, total_rows)
+    print(
+        f"[ann_ivf] probed {len(probes)} cells, rows_read={rows_read} "
+        f"({frac:.1%} of the corpus)"
+    )
+    partials = probed.map_batches(score, batch_format="pandas", batch_size=8192)
+    df = partials.to_pandas()
+    out = []
+    for q, g in df.groupby("query_id"):
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            out.append((int(q), rank, int(r["neighbor_id"])))
+    return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id"]).astype("int64")
+
+
 QUERIES = {
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh": (ann_lsh, None),
+    "ann_ivf": (ann_ivf, None),
 }

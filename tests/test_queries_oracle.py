@@ -62,7 +62,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 # simhash graduated to a full SQL oracle in r2
 ROWS_ONLY = [
-    n for n in ("minhash_lsh_candidates", "ann_lsh",
+    n for n in ("minhash_lsh_candidates", "ann_lsh", "ann_ivf",
                 "image_stats", "image_thumbnails")
 ]
 
@@ -117,6 +117,52 @@ def test_ann_lsh_reads_only_probed_partitions(ray_session):
             )
     frac = rows / (total * sim.N_TABLES)
     assert frac < 0.6, f"probed fraction {frac:.2f} - not an index"
+
+
+def test_ann_ivf_recall_vs_exact(ray_session):
+    from crawler_ray.ops.similarity import IVF_RECALL_FLOOR
+
+    exact = _to_pandas(entrymod.queries()["ann_topk"](SF_DIR))
+    approx = _to_pandas(entrymod.queries()["ann_ivf"](SF_DIR))
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= IVF_RECALL_FLOOR, f"IVF recall below floor: {recall}"
+
+
+def test_ann_ivf_reads_only_probed_cells(ray_session):
+    """The IVF index must behave like an index: each query's IVF_NPROBE
+    cells cover a strict fraction of the stored vectors (the union across
+    all queries can legitimately approach 1.0 — the scale property is
+    per-query rows touched, which is what a single lookup pays)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops import similarity as sim
+
+    qm, qids = sim._query_matrix(SF_DIR)
+    idx_dir, total, cent = sim._ensure_ivf_index(SF_DIR)
+    cell_rows = {}
+    for c in range(sim.IVF_CLUSTERS):
+        d = os.path.join(idx_dir, f"c={c}")
+        cell_rows[c] = (
+            sum(
+                pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(d)
+            else 0
+        )
+    assert sum(cell_rows.values()) == total
+    qcells = np.argsort(-(qm @ cent.T), axis=1)[:, : sim.IVF_NPROBE]
+    fracs = [
+        sum(cell_rows[int(c)] for c in row) / max(1, total) for row in qcells
+    ]
+    mean_frac = float(np.mean(fracs))
+    assert mean_frac < 0.6, f"mean per-query probed fraction {mean_frac:.2f} - not an index"
 
 
 def test_minhash_lsh_recall_vs_exact_jaccard(ray_session):
