@@ -422,8 +422,85 @@ WHERE rn = 1
 """
 
 
+def events_asof_order(sf_dir: str):
+    """As-of (backward, inner) join: for each event, the latest order of
+    the same customer placed at-or-before the event time. Ray Data has no
+    as-of join primitive; the scale shape is the standard two-sided
+    co-partition: tag each side, union the (schema-aligned) streams, ONE
+    bucketed shuffle on the join key, then a vectorized ``pd.merge_asof``
+    inside each bucket — every (key, both-sides) group meets in exactly
+    one task, no global sort, no driver materialization. Ties on the
+    order date break to the highest o_orderkey (right side sorted
+    (ts, o_orderkey) ascending; merge_asof backward takes the last
+    qualifying row), matching the SQL window's DESC, DESC rank."""
+    import numpy as np
+
+    from .common import bucketed_group_apply
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_ev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "event_id": df["event_id"].astype("int64"),
+                "o_orderkey": np.full(len(df), -1, dtype="int64"),
+            }
+        )
+
+    def tag_od(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["o_custkey"].astype("int64"),
+                "ts": df["o_orderdate"],
+                "event_id": np.full(len(df), -1, dtype="int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+            }
+        )
+
+    both = ev.map_batches(tag_ev, batch_format="pandas").union(
+        od.map_batches(tag_od, batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["o_orderkey"] < 0].sort_values("ts", kind="mergesort")
+        right = g[g["event_id"] < 0].sort_values(
+            ["ts", "o_orderkey"], kind="mergesort"
+        )
+        m = pd.merge_asof(
+            left[["k", "ts", "event_id"]],
+            right[["k", "ts", "o_orderkey"]],
+            on="ts",
+            by="k",
+            direction="backward",
+        ).dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["k"].astype("int64"),
+                "asof_orderkey": m["o_orderkey"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(both, ["k"], per_bucket, n_buckets=16)
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id, asof_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "events_asof_order": (events_asof_order, EVENTS_ASOF_SQL),
     "latest_order_per_customer": (latest_order_per_customer, LATEST_ORDER_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
