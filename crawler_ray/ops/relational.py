@@ -487,6 +487,149 @@ def events_asof_order(sf_dir: str):
     return bucketed_group_apply(both, ["k"], per_bucket, n_buckets=16)
 
 
+def median_price_by_priority(sf_dir: str):
+    """EXACT distributed median (``quantile_disc(0.5)``) per group via
+    iterative histogram selection — the scale shape for exact order
+    statistics (no global sort, driver sees only counters):
+
+    - pass A: per-group (count, min, max) partial aggregation;
+    - pass B (per refinement level): per-group fixed-width histogram as a
+      map_batches partial -> bucketed-sum reduce (<= groups x 4096 rows);
+      the driver walks the cumulative counts to the bucket holding rank
+      ``ceil(n/2)`` and recurses on that bucket's (narrower) value range
+      while it is still too big to collect;
+    - final: integer-width-1 buckets answer directly; otherwise collect
+      ONLY the target bucket's rows (expected n/4096 per group) and
+      ``np.partition`` the tiny remainder.
+
+    Values are integer cents so Ray-vs-DuckDB equality is exact. Rank
+    convention matches DuckDB ``quantile_disc``: element ceil(q*n),
+    1-indexed."""
+    import numpy as np
+
+    from .common import bucketed_sum
+
+    N_BUCKETS = 4096
+    COLLECT_CAP = 100_000
+
+    def cents_ds():
+        ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def conv(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "g": df["o_orderpriority"],
+                    "v": _cents(df["o_totalprice"].reset_index(drop=True)).values,
+                }
+            )
+
+        return ds.map_batches(conv, batch_format="pandas")
+
+    # pass A — per-group count/min/max (partials are groups-per-batch rows)
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.groupby("g")["v"].agg(["count", "min", "max"]).reset_index()
+        return a.rename(columns={"count": "n", "min": "lo", "max": "hi"})
+
+    st = (
+        cents_ds()
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("g")
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    )
+    # state per group: remaining rank k within current [lo, hi] range
+    state = {
+        g: {"k": int(-(-r["n"] // 2)), "lo": int(r["lo"]), "hi": int(r["hi"]) + 1}
+        for g, r in st.iterrows()
+    }
+
+    answers: dict[str, int] = {}
+    while True:
+        active = {
+            g: s
+            for g, s in state.items()
+            if g not in answers and s["hi"] - s["lo"] > 1
+        }
+        if not active:
+            break
+        ref = ray.put(
+            {
+                g: (s["lo"], max(1.0, (s["hi"] - s["lo"]) / N_BUCKETS))
+                for g, s in active.items()
+            }
+        )
+
+        def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+            rng = ray.get(ref)
+            out = []
+            for g, part in df.groupby("g", observed=True):
+                if g not in rng:
+                    continue
+                lo, w = rng[g]
+                v = part["v"].to_numpy()
+                v = v[(v >= lo) & (v < lo + w * N_BUCKETS)]
+                b = np.minimum(((v - lo) / w).astype(np.int64), N_BUCKETS - 1)
+                nz = np.bincount(b, minlength=N_BUCKETS)
+                idx = np.nonzero(nz)[0]
+                out.append(pd.DataFrame({"g": g, "b": idx, "cnt": nz[idx]}))
+            if not out:
+                return pd.DataFrame(
+                    {"g": pd.Series(dtype=str), "b": pd.Series(dtype="int64"),
+                     "cnt": pd.Series(dtype="int64")}
+                )
+            return pd.concat(out, ignore_index=True)
+
+        hist = bucketed_sum(
+            cents_ds().map_batches(hist_partial, batch_format="pandas"),
+            ["g", "b"],
+            ["cnt"],
+            n_buckets=8,
+        ).to_pandas()
+        for g, s in active.items():
+            hg = hist[hist["g"] == g].sort_values("b")
+            cum = hg["cnt"].cumsum()
+            pos = int(np.searchsorted(cum.to_numpy(), s["k"]))
+            bucket = int(hg["b"].iloc[pos])
+            before = int(cum.iloc[pos - 1]) if pos > 0 else 0
+            in_bucket = int(hg["cnt"].iloc[pos])
+            lo, w = s["lo"], max(1.0, (s["hi"] - s["lo"]) / N_BUCKETS)
+            s["k"] -= before
+            s["lo"] = int(lo + bucket * w)
+            s["hi"] = min(int(lo + (bucket + 1) * w) + 1, s["hi"])
+            if s["hi"] - s["lo"] <= 1:
+                answers[g] = s["lo"]
+            elif in_bucket <= COLLECT_CAP:
+                # collect only this bucket's rows and select exactly
+                f_lo, f_hi, f_g, f_k = s["lo"], s["hi"], g, s["k"]
+
+                def pick(df: pd.DataFrame, _lo=f_lo, _hi=f_hi, _g=f_g):
+                    m = (df["g"] == _g) & (df["v"] >= _lo) & (df["v"] < _hi)
+                    return df[m][["v"]]
+
+                vals = (
+                    cents_ds()
+                    .map_batches(pick, batch_format="pandas")
+                    .to_pandas()["v"]
+                    .to_numpy()
+                )
+                answers[g] = int(np.partition(vals, f_k - 1)[f_k - 1])
+
+    for g, s in state.items():
+        answers.setdefault(g, s["lo"])
+    out = pd.DataFrame(
+        sorted(answers.items()), columns=["o_orderpriority", "median_cents"]
+    )
+    out["median_cents"] = out["median_cents"].astype("int64")
+    return out
+
+
+MEDIAN_PRICE_SQL = """
+SELECT o_orderpriority,
+       quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5) AS median_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 EVENTS_ASOF_SQL = """
 SELECT event_id, user_id, asof_orderkey FROM (
   SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
@@ -501,6 +644,7 @@ SELECT event_id, user_id, asof_orderkey FROM (
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "events_asof_order": (events_asof_order, EVENTS_ASOF_SQL),
+    "median_price_by_priority": (median_price_by_priority, MEDIAN_PRICE_SQL),
     "latest_order_per_customer": (latest_order_per_customer, LATEST_ORDER_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
