@@ -623,6 +623,55 @@ def median_price_by_priority(sf_dir: str):
     return out
 
 
+def stratified_sample_customers(sf_dir: str):
+    """Deterministic stratified sampling — the training-data subsampling
+    primitive: per stratum (c_mktsegment) keep the 50 customers with the
+    smallest process-stable hash of their key. The hash
+    ``(key * 2654435761) % 2**32`` (Knuth multiplicative; the multiplier
+    is odd, so it is a bijection mod 2^32 — no rank ties) is computable
+    identically in numpy and ANSI SQL, so the sample is exactly
+    reproducible anywhere. Scale shape: per-batch partial top-50 per
+    stratum (each batch emits <= strata x 50 rows), one tiny bucketed
+    shuffle on the stratum to merge partials — never a global sort."""
+    import numpy as np
+
+    from .common import bucketed_group_apply
+
+    PER_STRATUM = 50
+
+    def top_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = (
+            df["c_custkey"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(2**32)
+        df = df.sort_values(["c_mktsegment", "h"], kind="mergesort")
+        return df.groupby("c_mktsegment", as_index=False).head(PER_STRATUM)
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    partials = ds.map_batches(top_of, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = top_of(g)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "c_custkey": g["c_custkey"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(partials, ["c_mktsegment"], per_bucket, n_buckets=8)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT c_mktsegment, c_custkey FROM (
+  SELECT c_mktsegment, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY (c_custkey * 2654435761) % 4294967296) AS rn
+  FROM customer
+) WHERE rn <= 50
+"""
+
+
 MEDIAN_PRICE_SQL = """
 SELECT o_orderpriority,
        quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5) AS median_cents
@@ -645,6 +694,7 @@ QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "events_asof_order": (events_asof_order, EVENTS_ASOF_SQL),
     "median_price_by_priority": (median_price_by_priority, MEDIAN_PRICE_SQL),
+    "stratified_sample_customers": (stratified_sample_customers, STRATIFIED_SAMPLE_SQL),
     "latest_order_per_customer": (latest_order_per_customer, LATEST_ORDER_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

@@ -472,8 +472,68 @@ def ann_ivf(sf_dir: str):
     return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id"]).astype("int64")
 
 
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid as an EXACT long-format aggregate:
+    (label, dim) -> (sum of round(v*1e6) as int64, count). The vector sum
+    is a per-batch numpy partial (np.add.at over the batch's labels — one
+    (labels x dim) int array per batch) reduced by a tiny bucketed sum;
+    the driver never sees row vectors. Integer scaling (same
+    half-away-from-zero rounding as the SQL side) makes Ray-vs-DuckDB
+    equality exact — float mean would differ by accumulation order. The
+    caller divides csum/n/1e6 for the actual centroid."""
+    from .common import bucketed_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e6
+        scaled = (np.floor(np.abs(mat) + 0.5) * np.sign(mat)).astype(np.int64)
+        labels, inv = np.unique(df["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(labels))
+        dim = mat.shape[1]
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels.astype(np.int64), dim),
+                "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(labels)),
+                "csum": sums.ravel(),
+                "n": np.repeat(counts.astype(np.int64), dim),
+            }
+        )
+
+    out = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["label", "dim"],
+        ["csum", "n"],
+        n_buckets=8,
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("label", "dim", "csum", "n"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(FLOOR(ABS(CAST(e AS DOUBLE)*1000000)+0.5) AS BIGINT)
+                * CAST(SIGN(e) AS BIGINT)) AS BIGINT) AS csum,
+       COUNT(*) AS n
+FROM (SELECT label, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh": (ann_lsh, None),
     "ann_ivf": (ann_ivf, None),
+    "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
 }
