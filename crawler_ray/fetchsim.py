@@ -44,7 +44,7 @@ from typing import Callable
 
 from .configs import FormInstruction, HrefDirection
 from .formlogic import find_direction, select_form_options
-from .html import find_meta_refresh, get_forms, get_raw_hrefs, parse_tags
+from .html import scan_page
 from .urlkit import IncludePatterns, derelativise, get_domain
 from .webgen import WebSpec
 
@@ -226,7 +226,12 @@ def process_url(
             out.reason = fr.error
             return out
         landed = fr.chain[0]
-        tags = parse_tags(fr.body)
+        # fused single-pass extraction (== get_raw_hrefs/find_meta_refresh/
+        # get_forms over parse_tags; equivalence-tested) — forms skipped
+        # when no form instruction could ever consume them
+        raw_hrefs, raw_meta, forms = scan_page(
+            fr.body, want_forms=bool(policy.form_instructions)
+        )
 
         # 1. href direction (Crawl.hs:123-129)
         direction = find_direction(list(policy.directions), landed, fr.body)
@@ -236,7 +241,6 @@ def process_url(
         else:
             # 2. meta refresh, resolved against the original request url
             #    (Crawl.hs:132 passes nextUrl)
-            raw_meta = find_meta_refresh(tags)
             meta_url = None
             if raw_meta is not None:
                 k, v = derelativise(url, raw_meta)
@@ -256,7 +260,7 @@ def process_url(
                 #    transmits method + merged params (Request.hs:33)
                 try:
                     form_req = select_form_options(
-                        policy.form_instructions, landed, get_forms(tags)
+                        policy.form_instructions, landed, forms
                     )
                 except ValueError as e:
                     out.status = "failed"
@@ -298,7 +302,7 @@ def process_url(
         # shareCookies (responseCookies \\ cookiesSent), inside 'when
         # included' (Crawl.hs:158-159): new cookies of the FINAL response
         out.shared_cookies = [c for c in fr.set_cookies if c not in sent]
-        for raw in get_raw_hrefs(tags):
+        for raw in raw_hrefs:
             k, v = derelativise(landed, raw)
             if k == "url":
                 out.links.append(v)

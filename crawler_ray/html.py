@@ -122,6 +122,88 @@ class Form:
     inputs: list[list[tuple[str, str]]]  # one attr list per <input>
 
 
+def _blob_attrs(blob: str) -> list[tuple[str, str]]:
+    a: list[tuple[str, str]] = []
+    if blob:
+        for am in _ATTR_RE.finditer(blob):
+            v = am.group(2) or ""
+            if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+                v = v[1:-1]
+            a.append((am.group(1), v))
+    return a
+
+
+def scan_page(
+    html: str, want_forms: bool = True
+) -> tuple[list[str], str | None, list["Form"]]:
+    """Single-pass fused extractor: ``(raw hrefs, meta-refresh target,
+    forms)`` with semantics IDENTICAL to ``get_raw_hrefs(parse_tags(h))``
+    / ``find_meta_refresh(parse_tags(h))`` / ``get_forms(parse_tags(h))``
+    (equivalence asserted over generated + malformed pages in
+    tests/test_html_configs.py). The crawl hot path calls this instead of
+    materializing a Tag list and walking it three times — only a/meta/
+    form/input open tags ever allocate. ``want_forms=False`` (no form
+    instructions configured) skips form bookkeeping entirely."""
+    hrefs: list[str] = []
+    meta: str | None = None
+    meta_done = False
+    forms: list[Form] = []
+    active: list[Form] = []
+    for m in _TAG_RE.finditer(html):
+        name = m.group(2).lower()
+        if m.group(1):
+            if name == "head":
+                meta_done = True
+            elif want_forms and name == "form":
+                active.clear()
+            continue
+        if name == "a":
+            blob = m.group(3)
+            if blob:
+                for am in _ATTR_RE.finditer(blob):
+                    if am.group(1).lower() == "href":
+                        v = am.group(2) or ""
+                        if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+                            v = v[1:-1]
+                        hrefs.append(v.strip())
+        elif name == "meta" and not meta_done:
+            attrs = _blob_attrs(m.group(3))
+            if ("http-equiv", "refresh") in {
+                (k.lower(), v.lower()) for k, v in attrs
+            }:
+                content = ""
+                for k, v in attrs:
+                    if k.lower() == "content":
+                        content = v
+                        break
+                for token in re.split(r"[ ;]", content):
+                    if token.lower().startswith("url"):
+                        _, _, after = token.partition("=")
+                        meta = after.split()[0] if after.split() else after
+                        break
+                meta_done = True  # first refresh meta decides (Parse.hs:22-38)
+        elif want_forms and name == "form":
+            attrs = _blob_attrs(m.group(3))
+            action, method = "", "GET"
+            for k, v in attrs:
+                kl = k.lower()
+                if kl == "action" and action == "":
+                    action = v
+                elif kl == "method" and method == "GET":
+                    method = v
+            f = Form(action=action, method=method, inputs=[])
+            forms.append(f)
+            active.append(f)
+        elif want_forms and name == "input" and active:
+            attrs = _blob_attrs(m.group(3))
+            # the first </form> after any open form closes ALL active forms
+            # (Forms.hs sections semantics), so every active form sees this
+            # input; give each its own list object like get_forms does
+            for f in active:
+                f.inputs.append(list(attrs))
+    return hrefs, meta, forms
+
+
 def get_forms(tags: list[Tag]) -> list[Form]:
     """Forms per Forms.hs:22-54 (takeWhilePlus1 through ``</form>``)."""
     forms: list[Form] = []

@@ -145,3 +145,50 @@ def test_find_direction_first_capture_group():
 
 def test_load_patterns_csv():
     assert load_patterns_csv("a, b,,c") == frozenset({"a", "b", "c"})
+
+
+# --- scan_page: fused hot-path extractor must equal the 3-walk composition
+
+
+_SCAN_CASES = [
+    "",
+    "<html><body>no tags of interest</body></html>",
+    '<a href=" /sp ">x</a><A HREF=/caps>y</A><a>none</a>',
+    "<a href=/u href2=/v href=/w>double-href</a>",
+    "<head><meta http-equiv=refresh content='5; url=/next'></head><a href=/z>z</a>",
+    "<head><meta http-equiv=refresh content='5'></head>"
+    "<head><meta http-equiv=refresh content='0; url=/late'></head>",
+    "</head><meta http-equiv=refresh content='0; url=/afterhead'>",
+    "<head><meta http-equiv=refresh content='0; URL='></head>",
+    "<form action=/a method=post><input name=a value=1>"
+    "<form action=/b><input name=b></form><input name=c></form>",
+    "<form><input name=only></form><form action=/second method=PUT></form>",
+    "<input name=orphan><form action=/x><input name=x>",
+    "<meta http-equiv=refresh content='0;url=/x' ><a href='/q'>q</a>"
+    "<form action='/f'><input type=text name=n value='v w'></form>",
+    "<a href=http://e.test/>e</a><p <a href=/broken></p>",
+]
+
+
+def test_scan_page_equals_composition():
+    from crawler_ray.html import scan_page
+
+    for html in _SCAN_CASES:
+        tags = parse_tags(html)
+        want = (get_raw_hrefs(tags), find_meta_refresh(tags), get_forms(tags))
+        assert scan_page(html) == want, html
+        # forms-off mode: hrefs/meta identical, forms empty
+        hrefs, meta, forms = scan_page(html, want_forms=False)
+        assert (hrefs, meta) == want[:2] and forms == [], html
+
+
+def test_scan_page_equals_composition_on_rendered_pages():
+    from crawler_ray.html import scan_page
+    from crawler_ray.webgen import WebSpec
+
+    spec = WebSpec(n_pages=4000, n_hosts=160, seed=11)
+    for i in range(0, 4000, 7):
+        html = spec.render_page(i, spec.caption_of(i))
+        tags = parse_tags(html)
+        want = (get_raw_hrefs(tags), find_meta_refresh(tags), get_forms(tags))
+        assert scan_page(html) == want, i
