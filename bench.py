@@ -91,6 +91,28 @@ def run_bench() -> dict:
     _quiet_ray_data_logs()
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_nodes = int(os.environ.get("GRAFT_NODES", "0"))
+    if n_nodes > 0 and not ray.is_initialized():
+        # multi-node evidence mode: a REAL multi-raylet local cluster
+        # (one object store + scheduler per node, cross-node object
+        # transfer) — the closest this sandbox gets to N vs 4N nodes
+        from ray.cluster_utils import Cluster
+
+        # raylets inherit this env when spawning workers; sys.path of the
+        # driver process does NOT reach them
+        repo = os.path.dirname(os.path.abspath(__file__))
+        os.environ["PYTHONPATH"] = (
+            repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+        node_cpus = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
+        cluster = Cluster(
+            initialize_head=True,
+            head_node_args={"num_cpus": node_cpus, "include_dashboard": False},
+        )
+        for _ in range(n_nodes - 1):
+            cluster.add_node(num_cpus=node_cpus)
+        ray.init(address=cluster.address, include_dashboard=False, logging_level="ERROR")
+        num_cpus = n_nodes * node_cpus
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -205,6 +227,16 @@ def run_bench() -> dict:
     crawl_sec = min(crawl_secs)
     timings["crawl"] = round(crawl_sec, 3)
 
+    node_info = {}
+    if n_nodes > 0:
+        import glob as _glob
+
+        nodes_used: set[str] = set()
+        for p in _glob.glob(os.path.join(run_dir, "round_*/MANIFEST.json")):
+            with open(p) as f:
+                nodes_used.update(json.load(f)["stats"].get("fetch_nodes", []))
+        node_info = {"n_nodes": n_nodes, "nodes_running_fetch": len(nodes_used)}
+
     # --- query suite ----------------------------------------------------
     qs = entrymod.queries()
     for name in BENCH_QUERIES if not crawl_only else []:
@@ -236,6 +268,7 @@ def run_bench() -> dict:
             "sec": round(crawl_sec, 3),
             "all_sec": [round(s, 3) for s in crawl_secs],
             "urls_per_sec": round(summary.fetched / crawl_sec, 2),
+            **node_info,
         },
     }
 
@@ -291,8 +324,64 @@ def run_scaling() -> dict:
     }
 
 
+def run_multinode() -> dict:
+    """North-rule N vs 4N NODES evidence on a real multi-raylet local
+    cluster (ray.cluster_utils.Cluster): the identical crawl on 1 node
+    and on 4 nodes of GRAFT_NODE_CPUS (default 8) CPUs each — separate
+    per-node object stores and schedulers, cross-node object transfer.
+    Same best-of-3 interleaved protocol as run_scaling. Single-box
+    caveat: all raylets share this VM's memory bus and disk, so the
+    efficiency number carries the same documented hardware ceiling as
+    the num_cpus protocol; what this adds is evidence the engine runs
+    its exchanges correctly and fast on a genuinely multi-node topology."""
+
+    def one(nodes: int) -> dict:
+        env = dict(
+            os.environ,
+            GRAFT_NODES=str(nodes),
+            GRAFT_BENCH_CRAWL_ONLY="1",
+            GRAFT_BENCH_CRAWL_RUNS="1",
+        )
+        env.pop("RAY_ADDRESS", None)  # must not attach to a local session
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_nodes, hi_nodes = 1, 4
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_hi.append(one(hi_nodes))
+        runs_lo.append(one(lo_nodes))
+    r_lo = max(runs_lo, key=lambda r: r["crawl"]["urls_per_sec"])
+    r_hi = max(runs_hi, key=lambda r: r["crawl"]["urls_per_sec"])
+    tput_lo = r_lo["crawl"]["urls_per_sec"]
+    tput_hi = r_hi["crawl"]["urls_per_sec"]
+    return {
+        "metric": "crawl scaling efficiency (urls/sec, 1 vs 4 raylet nodes, best of 3)",
+        "node_cpus": int(os.environ.get("GRAFT_NODE_CPUS", "8")),
+        "nodes_lo": lo_nodes,
+        "nodes_hi": hi_nodes,
+        "urls_per_sec_lo": tput_lo,
+        "urls_per_sec_hi": tput_hi,
+        "sec_lo": r_lo["crawl"]["sec"],
+        "sec_hi": r_hi["crawl"]["sec"],
+        "all_sec_lo": [r["crawl"]["sec"] for r in runs_lo],
+        "all_sec_hi": [r["crawl"]["sec"] for r in runs_hi],
+        "nodes_running_fetch_hi": r_hi["crawl"].get("nodes_running_fetch"),
+        "scaling_efficiency": round((tput_hi / tput_lo) / (hi_nodes / lo_nodes), 3),
+        "sf": r_hi["sf"],
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--multinode" in sys.argv:
+        print(json.dumps(run_multinode()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_bench()

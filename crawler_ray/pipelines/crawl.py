@@ -541,6 +541,7 @@ def crawl(
             "fetch_task_max": round(max(f_secs), 3),
             "comb_task_sum": round(sum(c_secs), 3),
             "comb_task_max": round(max(c_secs), 3),
+            "fetch_nodes": sorted({r.get("node", "") for r in stats1} - {""}),
             "fetch_phases": {
                 k: round(sum(r.get(k, 0.0) for r in stats1), 2)
                 for k in (

@@ -568,6 +568,8 @@ def fetch_shard(
             "t_cpu": _t_cpu,
             "t0": _t_task,
             "t1": time.time(),
+            # which physical node ran this shard (multi-node evidence)
+            "node": ray.get_runtime_context().get_node_id()[:8],
         },
         docs,
         meta_rows,
