@@ -585,6 +585,7 @@ def median_price_by_priority(sf_dir: str):
             ["cnt"],
             n_buckets=8,
         ).to_pandas()
+        collect: dict[str, tuple[int, int]] = {}  # group -> (lo, hi) range
         for g, s in active.items():
             hg = hist[hist["g"] == g].sort_values("b")
             cum = hg["cnt"].cumsum()
@@ -599,20 +600,25 @@ def median_price_by_priority(sf_dir: str):
             if s["hi"] - s["lo"] <= 1:
                 answers[g] = s["lo"]
             elif in_bucket <= COLLECT_CAP:
-                # collect only this bucket's rows and select exactly
-                f_lo, f_hi, f_g, f_k = s["lo"], s["hi"], g, s["k"]
+                collect[g] = (s["lo"], s["hi"])
+        if collect:
+            # ONE pass collects every resolved group's rank bucket
+            # (expected n/4096 rows per group)
+            rref = ray.put(collect)
 
-                def pick(df: pd.DataFrame, _lo=f_lo, _hi=f_hi, _g=f_g):
-                    m = (df["g"] == _g) & (df["v"] >= _lo) & (df["v"] < _hi)
-                    return df[m][["v"]]
+            def pick(df: pd.DataFrame) -> pd.DataFrame:
+                rng = ray.get(rref)
+                keep = np.zeros(len(df), dtype=bool)
+                gv = df["g"].to_numpy()
+                vv = df["v"].to_numpy()
+                for g, (lo_, hi_) in rng.items():
+                    keep |= (gv == g) & (vv >= lo_) & (vv < hi_)
+                return df[keep]
 
-                vals = (
-                    cents_ds()
-                    .map_batches(pick, batch_format="pandas")
-                    .to_pandas()["v"]
-                    .to_numpy()
-                )
-                answers[g] = int(np.partition(vals, f_k - 1)[f_k - 1])
+            got = cents_ds().map_batches(pick, batch_format="pandas").to_pandas()
+            for g in collect:
+                vals = got.loc[got["g"] == g, "v"].to_numpy()
+                answers[g] = int(np.partition(vals, state[g]["k"] - 1)[state[g]["k"] - 1])
 
     for g, s in state.items():
         answers.setdefault(g, s["lo"])
