@@ -47,6 +47,39 @@ SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens FROM document
 """
 
 
+# BPE-ish pre-tokenizer: the GPT-2 pattern's RE2-safe core (contraction
+# suffixes | space?+letter-run | space?+digit-run | space?+other-run) —
+# the original's trailing-space lookahead is dropped so the IDENTICAL
+# pattern runs in Python re, RE2, and DuckDB. Applied to lowercased text.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+_BPE = re.compile(BPE_PATTERN)
+
+
+def bpe_pretokens(sf_dir: str):
+    """Per-document BPE-style pre-token count (the unit an LLM tokenizer's
+    merge stage consumes — the brief's 'BPE-ish regex' token counter).
+    Same one-pass vectorized map_batches shape as token_counts."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_pretokens": df["text"]
+                .map(lambda t: len(_BPE.findall(t.lower())))
+                .astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+BPE_PRETOKENS_SQL = rf"""
+SELECT doc_id,
+       length(regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}')) AS n_pretokens
+FROM documents
+"""
+
+
 def quality_scores(sf_dir: str):
     """Length / word / stopword-ratio quality features per document."""
 
@@ -273,6 +306,7 @@ FROM documents
 
 QUERIES = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "bpe_pretokens": (bpe_pretokens, BPE_PRETOKENS_SQL),
     "top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "dataset_split": (dataset_split, DATASET_SPLIT_SQL),
