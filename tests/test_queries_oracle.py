@@ -306,3 +306,55 @@ def test_crawl_queries_match_oracle(ray_session):
     got_seen = dict(zip(seen["url"].to_pylist(), seen["status"].to_pylist()))
     want_seen = {u: STATUS_CODES[st] for u, st in golden.seen.items()}
     assert got_seen == want_seen
+
+
+def test_median_histogram_selection_adversarial(ray_session, tmp_path):
+    """Exercise every path of the iterative histogram selection: width-1
+    direct answers (all-equal and two-value groups), the collect path,
+    and multi-level recursion (a group whose values concentrate in one
+    bucket at the first level)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.relational import median_price_by_priority
+
+    rng = np.random.default_rng(5)
+    groups, prices = [], []
+    # all-equal: every refinement level has one occupied bucket -> width-1
+    groups += ["EQ"] * 101
+    prices += [42.0] * 101
+    # two distinct values, even count: quantile_disc(0.5) = lower value
+    groups += ["TWO"] * 100
+    prices += [1.0] * 50 + [9.0] * 50
+    # heavy concentration: 99% of mass in a 1-cent range inside a huge span
+    groups += ["SKEW"] * 1000
+    prices += list(np.where(rng.random(1000) < 0.99, 500.0, 5_000_000.0))
+    # generic continuous
+    groups += ["GEN"] * 999
+    prices += list(rng.uniform(10, 99_999, size=999).round(2))
+    d = tmp_path / "medtest"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {"o_orderpriority": groups, "o_totalprice": prices}
+        ),
+        d / "orders.parquet",
+    )
+    got = (
+        median_price_by_priority(str(d))
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["median_price_by_priority"])
+        .fetchdf()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert list(got["median_cents"]) == list(want["median_cents"])
