@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -304,6 +305,80 @@ FROM documents
 """
 
 
+# --- winnowing (rolling-hash) fingerprints -----------------------------
+WINNOW_K = 8  # k-gram char length
+WINNOW_W = 4  # window of consecutive k-gram hashes
+_WINNOW_B = np.uint64(257)  # polynomial base (uint64 wraparound hash)
+
+
+def _winnow_doc_hashes(arr: np.ndarray, powers: np.ndarray) -> np.ndarray:
+    """All k-gram rolling hashes of one byte array (uint64 wraparound)."""
+    if len(arr) < WINNOW_K:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, WINNOW_K)
+    return (win.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+
+
+def winnowing_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local dedup sketch): k-gram rolling hashes over the lowercased
+    text, one fingerprint per window of ``WINNOW_W`` consecutive hashes —
+    the RIGHTMOST minimal hash of each window — deduplicated per doc.
+    Guarantees any shared substring of length >= k+w-1 between two
+    documents yields at least one shared fingerprint, which is what makes
+    it a near-dup PRE-FILTER at corpus scale (fingerprints are grouped by
+    value downstream exactly like minhash band buckets).
+
+    Per-doc work is two numpy sliding_window_view passes (hash, then
+    windowed argmin) — no per-character Python.
+    Short docs (fewer than w hashes but >= 1) contribute their single
+    rightmost-minimal hash. Approximation-free and deterministic, but not
+    SQL-expressible -> rows-only driver oracle; a scalar reference
+    implementation cross-checks values in tests."""
+    powers = _WINNOW_B ** np.arange(
+        WINNOW_K - 1, -1, -1, dtype=np.uint64
+    )  # B^(k-1)..B^0
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[np.ndarray] = []
+        fps: list[np.ndarray] = []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            arr = np.frombuffer(text.lower().encode(), dtype=np.uint8)
+            h = _winnow_doc_hashes(arr, powers)
+            if len(h) == 0:
+                continue
+            if len(h) < WINNOW_W:
+                rev = h[::-1]
+                sel = np.array([len(h) - 1 - int(np.argmin(rev))])
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                # rightmost minimal element of each window
+                sel = (
+                    np.arange(len(wins))
+                    + (WINNOW_W - 1)
+                    - np.argmin(wins[:, ::-1], axis=1)
+                )
+            u = np.unique(h[sel])
+            fps.append(u)
+            doc_ids.append(np.full(len(u), did, dtype=np.int64))
+        if not fps:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "fp": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(doc_ids),
+                # bit-cast to int64 for a parquet/SQL-friendly column
+                "fp": np.concatenate(fps).view(np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
 QUERIES = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "bpe_pretokens": (bpe_pretokens, BPE_PRETOKENS_SQL),
@@ -313,4 +388,5 @@ QUERIES = {
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "fingerprints": (fingerprints, FINGERPRINTS_SQL),
+    "winnowing_fingerprints": (winnowing_fingerprints, None),
 }

@@ -63,7 +63,7 @@ def test_query_matches_oracle(ray_session, con, name):
 # simhash graduated to a full SQL oracle in r2
 ROWS_ONLY = [
     n for n in ("minhash_lsh_candidates", "ann_lsh", "ann_ivf",
-                "image_stats", "image_thumbnails")
+                "winnowing_fingerprints", "image_stats", "image_thumbnails")
 ]
 
 
@@ -358,3 +358,57 @@ def test_median_histogram_selection_adversarial(ray_session, tmp_path):
     )
     assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
     assert list(got["median_cents"]) == list(want["median_cents"])
+
+
+def test_winnowing_fingerprints_vs_scalar_reference(ray_session):
+    """Value oracle for the rows-only winnowing op: an independent scalar
+    implementation of Schleimer/Wilkerson/Aiken winnowing (per-character
+    Python loop, no numpy) must produce the identical (doc_id, fp) set;
+    plus the winnowing guarantee: two docs sharing a substring of length
+    >= k+w-1 share at least one fingerprint."""
+    import numpy as np
+
+    from crawler_ray.ops.text import WINNOW_K, WINNOW_W, winnowing_fingerprints
+
+    def scalar_fps(text: str) -> set[int]:
+        data = text.lower().encode()
+        n = len(data)
+        if n < WINNOW_K:
+            return set()
+        hs = []
+        for i in range(n - WINNOW_K + 1):
+            h = 0
+            for b in data[i : i + WINNOW_K]:
+                h = (h * 257 + b) % (1 << 64)
+            hs.append(h)
+        if len(hs) < WINNOW_W:
+            best = min(range(len(hs)), key=lambda i: (hs[i], -i))
+            # rightmost minimal
+            best = max(i for i in range(len(hs)) if hs[i] == hs[best])
+            return {hs[best]}
+        out = set()
+        for s in range(len(hs) - WINNOW_W + 1):
+            w = hs[s : s + WINNOW_W]
+            m = min(w)
+            out.add(w[len(w) - 1 - w[::-1].index(m)])
+        return out
+
+    got = _to_pandas(winnowing_fingerprints(SF_DIR))
+    got_sets: dict[int, set[int]] = {}
+    for did, g in got.groupby("doc_id"):
+        got_sets[int(did)] = set(g["fp"].to_numpy().astype(np.int64).view(np.uint64))
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    checked = 0
+    for did, text in zip(docs["doc_id"].to_pylist()[:80], docs["text"].to_pylist()[:80]):
+        want = scalar_fps(text)
+        assert got_sets.get(did, set()) == want, did
+        checked += 1
+    assert checked == 80
+
+    # guarantee property on synthetic docs sharing a k+w-1 substring
+    shared = "zqxjvkwpbf" * 3  # 30 chars >= k+w-1 = 11
+    a = scalar_fps("prefix one " + shared + " tail alpha")
+    b = scalar_fps("completely different head " + shared)
+    assert a & b
