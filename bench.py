@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "image_stats",
     "events_asof_order",
     "median_price_by_priority",
+    "bpe_pretokens",
+    "winnowing_fingerprints",
 ]
 
 
