@@ -138,7 +138,12 @@ def canonicalise(url: str, discard_fragments: bool = True) -> str | None:
     # discovered hrefs differ from canonical by only one of these steps.
     a = url.find("://")
     if 0 < a < 8:
+        # authority ends at the first '/' OR '?' (fragments are already
+        # stripped) — a query directly after the host must keep its case
         end = url.find("/", a + 3)
+        q = url.find("?", a + 3)
+        if q != -1 and (end == -1 or q < end):
+            end = q
         pre = url if end == -1 else url[:end]
         if not pre.islower():
             low = pre.lower()

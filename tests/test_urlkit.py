@@ -129,6 +129,10 @@ def test_canonical_fast_path_equals_full_path():
         "mailto:x@y.z", "not a url", "", "http://", "ftp://h.test/x",
         "http://h.test/trailing.", "http://UPPER.test/p",
         "http://h.test/page/1?x=%20y",
+        # query directly after the host (no path): authority lowercasing
+        # must stop at '?' — hypothesis-found regression (round 3)
+        "http://A?A", "http://H.test?Q=V", "http://H.test:80?Q",
+        "HTTP://h.test?q", "http://h.test?",
     ]
     never = re.compile(r"(?!x)x")  # matches nothing
     orig = urlkit._ALREADY_CANONICAL
