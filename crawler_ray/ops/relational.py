@@ -603,21 +603,27 @@ def median_price_by_priority(sf_dir: str):
                 collect[g] = (s["lo"], s["hi"])
         if collect:
             # ONE pass collects every resolved group's rank bucket
-            # (expected n/4096 rows per group)
-            rref = ray.put(collect)
+            # (expected n/4096 rows per group); output is int-typed only
+            # (group index, value) so empty batches stay schema-clean
+            order = sorted(collect)
+            rref = ray.put([(g, *collect[g]) for g in order])
 
             def pick(df: pd.DataFrame) -> pd.DataFrame:
                 rng = ray.get(rref)
-                keep = np.zeros(len(df), dtype=bool)
                 gv = df["g"].to_numpy()
                 vv = df["v"].to_numpy()
-                for g, (lo_, hi_) in rng.items():
-                    keep |= (gv == g) & (vv >= lo_) & (vv < hi_)
-                return df[keep]
+                gis, vs = [], []
+                for gi, (g, lo_, hi_) in enumerate(rng):
+                    m = (gv == g) & (vv >= lo_) & (vv < hi_)
+                    vs.append(vv[m])
+                    gis.append(np.full(int(m.sum()), gi, dtype=np.int64))
+                return pd.DataFrame(
+                    {"gi": np.concatenate(gis), "v": np.concatenate(vs)}
+                )
 
             got = cents_ds().map_batches(pick, batch_format="pandas").to_pandas()
-            for g in collect:
-                vals = got.loc[got["g"] == g, "v"].to_numpy()
+            for gi, g in enumerate(order):
+                vals = got.loc[got["gi"] == gi, "v"].to_numpy()
                 answers[g] = int(np.partition(vals, state[g]["k"] - 1)[state[g]["k"] - 1])
 
     for g, s in state.items():
