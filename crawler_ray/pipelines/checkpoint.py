@@ -65,6 +65,30 @@ def rebuild_shards(cfg: CrawlConfig, upto_round: int):
     return shards
 
 
+def run_with_recovery(cfg: CrawlConfig, max_round_retries: int = 2) -> CrawlSummary:
+    """Driver-level fault recovery: a lost seen-shard actor, fetch task or
+    node aborts only the round in flight. Catch the Ray-level failure,
+    rebuild FRESH shard actors from the last committed round's deltas
+    (``resume_crawl``), and continue — rounds are deterministic and
+    commits are atomic (one-round deferred), so a retried round is
+    byte-identical to an undisturbed one. With per-round commits this
+    bounds the cost of losing a node to re-running at most two rounds,
+    instead of restarting a 10^10-URL job.
+
+    Note: the returned summary's ``fetched`` counts from the last resume
+    point (the durable artifacts under ``run_dir`` are the full record)."""
+    import ray.exceptions as rex
+
+    attempts = 0
+    while True:
+        try:
+            return resume_crawl(cfg)
+        except rex.RayError:
+            attempts += 1
+            if attempts > max_round_retries:
+                raise
+
+
 def resume_crawl(cfg: CrawlConfig) -> CrawlSummary:
     """Continue (or finish) a crawl from its last committed round."""
     rounds = committed_rounds(cfg.run_dir)

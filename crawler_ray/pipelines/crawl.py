@@ -104,6 +104,11 @@ class CrawlConfig:
     # docs-sink partitions per round: each group owns a set of corpus
     # shards and performs only LOCAL payload takes (stages/fetch.py)
     n_docs_groups: int = 32
+    # TEST-ONLY fault injection: called as fault_hook(round, shards) at
+    # the top of every round so tests can kill a seen-shard actor
+    # mid-crawl and exercise checkpoint.run_with_recovery. Never set in
+    # production paths.
+    fault_hook: object | None = None
 
 
 @dataclass
@@ -360,6 +365,8 @@ def crawl(
             summary.halted = True
             break
         _t_round = _time.time()
+        if cfg.fault_hook is not None:
+            cfg.fault_hook(rnd, shards)
         rdir = _round_dir(cfg.run_dir, rnd)
         next_path = os.path.join(cfg.run_dir, f"frontier_{rnd + 1:05d}")
         # a crashed (uncommitted) attempt at this round may have left

@@ -160,3 +160,49 @@ def test_resume_equals_straight_through(ray_session, tmp_path):
     db = read_crawled(str(tmp_path / "b")).to_pandas().sort_values(["round", "host", "seq"])
     assert list(da["url"]) == list(db["url"])
     assert [bytes(x) for x in da["content"]] == [bytes(x) for x in db["content"]]
+
+
+def test_actor_death_recovers_byte_identical(ray_session, tmp_path):
+    """Kill a live seen-shard actor mid-crawl (round 2); run_with_recovery
+    must rebuild shards from the last committed round and finish with
+    results byte-identical to an undisturbed run — a lost node costs a
+    round retry, not the job."""
+    import ray
+
+    from crawler_ray.fetchsim import FetchPolicy
+    from crawler_ray.pipelines.checkpoint import run_with_recovery
+    from crawler_ray.pipelines.crawl import (
+        CrawlConfig,
+        crawl,
+        read_crawled,
+        read_order,
+    )
+    from crawler_ray.urlkit import IncludePatterns
+    from crawler_ray.webgen import ensure_web
+
+    spec, corpus = ensure_web(250, 10, seed=7, cache_dir=str(tmp_path / "web"))
+    policy = FetchPolicy(include=IncludePatterns(domain_patterns=frozenset([".test"])))
+    seeds = [spec.url_of(i) for i in range(3)]
+    base = dict(spec=spec, corpus_path=corpus, seeds=seeds, policy=policy,
+                fetch_concurrency=2)
+
+    cfg_a = CrawlConfig(run_dir=str(tmp_path / "a"), **base)
+    crawl(cfg_a)
+
+    killed = []
+
+    def kill_once(rnd, shards):
+        if rnd == 2 and not killed:
+            killed.append(rnd)
+            ray.kill(shards[1], no_restart=True)
+
+    cfg_b = CrawlConfig(run_dir=str(tmp_path / "b"), fault_hook=kill_once, **base)
+    summary = run_with_recovery(cfg_b)
+    assert killed == [2]
+    assert summary.frontier_exhausted or summary.rounds > 0
+
+    assert read_order(str(tmp_path / "a")).equals(read_order(str(tmp_path / "b")))
+    da = read_crawled(str(tmp_path / "a")).to_pandas().sort_values(["round", "host", "seq"])
+    db = read_crawled(str(tmp_path / "b")).to_pandas().sort_values(["round", "host", "seq"])
+    assert list(da["url"]) == list(db["url"])
+    assert [bytes(x) for x in da["content"]] == [bytes(x) for x in db["content"]]
