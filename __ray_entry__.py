@@ -40,9 +40,9 @@ def _ensure_crawl_run(sf_dir: str) -> tuple[str, Any]:
 
     n_pages, n_hosts = _crawl_params(sf_dir)
     spec, corpus_path = ensure_web(n_pages, n_hosts, seed=42)
-    # v2: cache key versioned — round-2 engine semantics (session gating,
-    # cookies, canonical mutation order) change results vs round-1 caches
-    run_dir = os.path.join(_CACHE, f"crawlrun_v3_{n_pages}_{n_hosts}")
+    # v4: cache key versioned — bumped whenever engine semantics or the
+    # generated web content change (v4: planted image near-dups)
+    run_dir = os.path.join(_CACHE, f"crawlrun_v4_{n_pages}_{n_hosts}")
     if not os.path.exists(os.path.join(run_dir, "RUN_MANIFEST.json")):
         cfg = CrawlConfig(
             spec=spec,

@@ -276,7 +276,41 @@ class WebSpec:
         ]
         return f"caption for img{i:08d} " + " ".join(words)
 
+    # ~10% of non-base pages reuse a base page's image — half exact
+    # copies, half sparse low-amplitude noise — giving the corpus the
+    # image near-duplicate structure a real crawl has (and phash-based
+    # dedup something true to find). Bases (i < N_DUP_BASES) are never
+    # duplicates themselves, so dup chains have depth 1.
+    N_DUP_BASES = 100
+
+    def dup_of(self, i: int) -> int | None:
+        """Base page whose image this page near-duplicates, or None."""
+        if i < self.N_DUP_BASES or self.n_pages <= self.N_DUP_BASES:
+            return None
+        if _h3(self.seed, "pdup", i) % 10 != 0:
+            return None
+        return _h3(self.seed, "pdupof", i) % self.N_DUP_BASES
+
     def pixels_of(self, i: int) -> np.ndarray:
+        base = self.dup_of(i)
+        if base is not None:
+            px = self.pixels_of(base)
+            if _h3(self.seed, "pnoise", i) % 2:
+                # noisy copy: brighten/darken a few whole 8x8-grid blocks
+                # by ±8 so the block-mean phash differs in a FEW bits
+                # (exact copies cover distance 0; these cover 1..~6)
+                rng = np.random.Generator(
+                    np.random.PCG64(self.seed * 2_000_003 + i)
+                )
+                px = px.astype(np.int16)
+                h, w = px.shape[:2]
+                bh, bw = max(1, h // 8), max(1, w // 8)
+                for _ in range(int(rng.integers(1, 4))):
+                    by, bx = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+                    d = 8 if rng.integers(0, 2) else -8
+                    px[by * bh : (by + 1) * bh, bx * bw : (bx + 1) * bw] += d
+                px = np.clip(px, 0, 255).astype(np.uint8)
+            return px
         rng = np.random.Generator(np.random.PCG64(self.seed * 1_000_003 + i))
         d = _h3(self.seed, "dim", i)
         w, h = _DIMS[d % 4], _DIMS[(d >> 8) % 4]
@@ -332,7 +366,7 @@ def ensure_web(
     """
     spec = WebSpec(n_pages=n_pages, n_hosts=n_hosts, seed=seed)
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"corpus_{n_pages}_{n_hosts}_{seed}.parquet")
+    path = os.path.join(cache_dir, f"corpus_v2_{n_pages}_{n_hosts}_{seed}.parquet")  # v2: planted dups
     if not os.path.exists(path):
         tmp = path + ".tmp"
         writer = pq.ParquetWriter(tmp, CORPUS_SCHEMA)
@@ -372,7 +406,7 @@ def ensure_web_sharded(
     # takes that land cross-shard (redirect targets) read 6 MB per missed
     # row. 128 rows x ~6.5 KB ~= 0.8 MB per group balances both.
     out_dir = os.path.join(
-        cache_dir, f"corpus_sharded_v3_{n_pages}_{n_hosts}_{seed}_{n_shards}"
+        cache_dir, f"corpus_sharded_v4_{n_pages}_{n_hosts}_{seed}_{n_shards}"
     )
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):

@@ -63,7 +63,8 @@ def test_query_matches_oracle(ray_session, con, name):
 # simhash graduated to a full SQL oracle in r2
 ROWS_ONLY = [
     n for n in ("minhash_lsh_candidates", "ann_lsh", "ann_ivf",
-                "winnowing_fingerprints", "image_stats", "image_thumbnails")
+                "winnowing_fingerprints", "image_stats", "image_thumbnails",
+                "phash_near_dups")
 ]
 
 
@@ -412,3 +413,52 @@ def test_winnowing_fingerprints_vs_scalar_reference(ray_session):
     a = scalar_fps("prefix one " + shared + " tail alpha")
     b = scalar_fps("completely different head " + shared)
     assert a & b
+
+
+def test_phash_near_dups_exact_vs_bruteforce(ray_session):
+    """The banded phash search is EXACT (pigeonhole recall 1): its pair
+    set must equal a brute-force all-pairs Hamming scan, and every
+    planted image duplicate (webgen dup_of ground truth) within the
+    threshold must be found."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.dedup import _popcount64
+    from crawler_ray.ops.multimodal import (
+        PHASH_HAMMING_T,
+        corpus_for_sf,
+        phash_near_dups,
+    )
+    from crawler_ray.webgen import WebSpec
+
+    got = phash_near_dups(SF_DIR)
+    got_pairs = set(zip(got["a"], got["b"]))
+
+    t = pq.read_table(corpus_for_sf(SF_DIR), columns=["image_id", "phash"])
+    pid = np.array([int(s[3:]) for s in t["image_id"].to_pylist()])
+    ph = t["phash"].to_numpy().astype(np.uint64)
+    order = np.argsort(pid)
+    pid, ph = pid[order], ph[order]
+    want = set()
+    for i in range(len(pid)):
+        x = ph[i] ^ ph[i + 1 :]
+        hd = _popcount64(x)
+        for j in np.flatnonzero(hd <= PHASH_HAMMING_T):
+            want.add((int(pid[i]), int(pid[i + 1 + j])))
+    assert got_pairs == want
+    assert len(want) > 50  # the planted structure is actually present
+
+    # planted ground truth: every dup_of pair within threshold is found
+    spec = WebSpec(n_pages=len(pid), n_hosts=max(8, len(pid) // 25), seed=42)
+    planted_found = planted_close = 0
+    ph_by_id = dict(zip(pid.tolist(), ph.tolist()))
+    for i in pid.tolist():
+        b = spec.dup_of(i)
+        if b is None:
+            continue
+        d = bin(ph_by_id[i] ^ ph_by_id[b]).count("1")
+        if d <= PHASH_HAMMING_T:
+            planted_close += 1
+            if (min(i, b), max(i, b)) in got_pairs:
+                planted_found += 1
+    assert planted_close > 50 and planted_found == planted_close
