@@ -597,8 +597,20 @@ def dedup_clusters(sf_dir: str):
         )
 
     labels = _docs(sf_dir, ["doc_id"]).map_batches(seed, batch_format="pandas")
+    labels = hash_min_components(edges, labels)
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "lbl": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
 
-    for _ in range(8):  # >= component diameter; early-exits below
+
+def hash_min_components(edges, labels, n_buckets: int = 16, max_iters: int = 8):
+    """Distributed hash-min connected components (the BSP label-propagation
+    loop dedup_clusters documents), factored out so any near-dup edge
+    source (n-gram Jaccard, MinHash candidates, image phash pairs) can be
+    collapsed to components. ``edges``: symmetric Dataset(node, peer);
+    ``labels``: seed Dataset(node, lbl) (lbl = node). Returns
+    Dataset(node, lbl = component minimum)."""
+
+    for _ in range(max_iters):  # >= component diameter; early-exits below
         cols = ["node", "peer", "lbl"]
         tagged_e = edges.map_batches(
             lambda df: df.assign(lbl=-1)[cols], batch_format="pandas"
@@ -623,7 +635,7 @@ def dedup_clusters(sf_dir: str):
             ).astype("int64")
 
         msgs = bucketed_group_apply(
-            tagged_e.union(tagged_l), ["node"], propagate, n_buckets=16
+            tagged_e.union(tagged_l), ["node"], propagate, n_buckets=n_buckets
         )
 
         def take_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -637,7 +649,7 @@ def dedup_clusters(sf_dir: str):
             return m[["node", "lbl", "changed"]]
 
         new_labels = bucketed_group_apply(
-            msgs, ["node"], take_min, n_buckets=16
+            msgs, ["node"], take_min, n_buckets=n_buckets
         ).materialize()  # truncate lineage: each BSP step re-executes
         # otherwise, making iteration k cost O(k) recomputes
         n_changed = new_labels.sum("changed")
@@ -645,8 +657,7 @@ def dedup_clusters(sf_dir: str):
         if not n_changed:
             break
 
-    out = labels.to_pandas().rename(columns={"node": "doc_id", "lbl": "cluster_id"})
-    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+    return labels
 
 
 DEDUP_CLUSTERS_SQL = f"""

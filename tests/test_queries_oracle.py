@@ -64,7 +64,7 @@ def test_query_matches_oracle(ray_session, con, name):
 ROWS_ONLY = [
     n for n in ("minhash_lsh_candidates", "ann_lsh", "ann_ivf",
                 "winnowing_fingerprints", "image_stats", "image_thumbnails",
-                "phash_near_dups")
+                "phash_near_dups", "image_keep_list")
 ]
 
 
@@ -72,7 +72,7 @@ ROWS_ONLY = [
 def test_rows_only_queries_run(ray_session, name):
     df = _to_pandas(entrymod.queries()[name](SF_DIR))
     assert len(df) >= 0
-    assert len(df.columns) >= 2
+    assert len(df.columns) >= 1  # keep-lists are single-column
     # determinism: second run identical
     df2 = _to_pandas(entrymod.queries()[name](SF_DIR))
     assert _normalize(df).equals(_normalize(df2)), f"{name} not deterministic"
@@ -462,3 +462,46 @@ def test_phash_near_dups_exact_vs_bruteforce(ray_session):
             if (min(i, b), max(i, b)) in got_pairs:
                 planted_found += 1
     assert planted_close > 50 and planted_found == planted_close
+
+
+def test_image_keep_list_vs_union_find(ray_session):
+    """Ground truth for the image dedup deliverable: union-find over the
+    brute-force phash pair set; keep = every page except non-minimum
+    cluster members."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.dedup import _popcount64
+    from crawler_ray.ops.multimodal import (
+        PHASH_HAMMING_T,
+        corpus_for_sf,
+        image_keep_list,
+    )
+
+    t = pq.read_table(corpus_for_sf(SF_DIR), columns=["image_id", "phash"])
+    pid = np.array(sorted(int(s[3:]) for s in t["image_id"].to_pylist()))
+    ph = t["phash"].to_numpy().astype(np.uint64)[
+        np.argsort([int(s[3:]) for s in t["image_id"].to_pylist()])
+    ]
+    parent = {int(p): int(p) for p in pid}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(pid)):
+        x = ph[i] ^ ph[i + 1 :]
+        for j in np.flatnonzero(_popcount64(x) <= PHASH_HAMMING_T):
+            a, b = find(int(pid[i])), find(int(pid[i + 1 + j]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    roots: dict[int, int] = {}
+    for p in pid.tolist():
+        roots.setdefault(find(p), p)  # pid ascending -> first seen is min
+    expected = sorted(p for p in pid.tolist() if find(p) == p or roots[find(p)] == p)
+
+    got = image_keep_list(SF_DIR)["page_id"].tolist()
+    assert got == expected
+    assert len(got) < len(pid)  # something was actually dropped
