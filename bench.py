@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "median_price_by_priority",
     "bpe_pretokens",
     "winnowing_fingerprints",
+    "phash_near_dups",
+    "image_keep_list",
 ]
 
 
