@@ -158,7 +158,12 @@ class LiveFetcher:
                 visit_chain.append(
                     urllib.parse.urljoin(visit_chain[-1], loc)
                 )
-                method, body = "GET", None  # redirects re-issue as GET
+                # http-client's getRedirectedRequest semantics (Fetch.hs:
+                # 29-70): 301/302/303 re-issue as GET with the body
+                # dropped; 307/308 preserve the method and body (a form
+                # POST answered by a 307 stays a POST)
+                if status in (301, 302, 303):
+                    method, body = "GET", None
                 continue
             if status != 200:
                 return FetchResult(False, [url], "", None, f"HTTP {status}")

@@ -237,95 +237,32 @@ def phash_near_dups(sf_dir: str):
     band — the same exact-recall shape as simhash_near_pairs, applied to
     the IMAGE modality (the corpus plants exact and noisy image copies;
     webgen.WebSpec.dup_of is the ground truth the tests check against).
-    Output (a, b, hamming) by page id, a < b."""
+    Output (a, b, hamming) by page id, a < b. The per-bucket enumerator is
+    the shared make_hamming_bucket_fn (ops/dedup.py), which collapses
+    identical hashes before the O(k^2) pass — the corpus PLANTS exact
+    image copies, whose clique would otherwise blow up the triu allocation
+    (ADVICE r3)."""
     from .common import bucketed_group_apply
-    from .dedup import _popcount64
+    from .dedup import expand_hash_bands, make_hamming_bucket_fn
 
     corpus = corpus_for_sf(sf_dir)
     ds = rd.read_parquet(corpus, columns=["image_id", "phash"])
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame(
-                {
-                    "pid": pd.Series([], dtype="int64"),
-                    "band": pd.Series([], dtype="int32"),
-                    "band_val": pd.Series([], dtype="int64"),
-                    "phash": pd.Series([], dtype="int64"),
-                }
+            return expand_hash_bands(
+                np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+                N_PHASH_BANDS, 8,
             )
-        ph = df["phash"].to_numpy().astype(np.uint64)
         pid = df["image_id"].str[3:].astype("int64").to_numpy()
-        parts = []
-        for b in range(N_PHASH_BANDS):
-            bv = (ph >> np.uint64(8 * b)) & np.uint64(0xFF)
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "pid": pid,
-                        "band": np.full(len(df), b, dtype=np.int32),
-                        "band_val": bv.astype(np.int64),
-                        "phash": df["phash"].to_numpy(),
-                    }
-                )
-            )
-        return pd.concat(parts, ignore_index=True)
-
-    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "hamming": pd.Series([], dtype="int64"),
-            }
+        return expand_hash_bands(
+            pid, df["phash"].to_numpy(), N_PHASH_BANDS, 8
         )
-        if not len(g):
-            return empty
-        g = g.sort_values(["band", "band_val", "pid"], kind="mergesort")
-        band = g["band"].to_numpy()
-        bval = g["band_val"].to_numpy()
-        ids = g["pid"].to_numpy()
-        ph = g["phash"].to_numpy().astype(np.uint64)
-        new_grp = np.ones(len(g), dtype=bool)
-        new_grp[1:] = (band[1:] != band[:-1]) | (bval[1:] != bval[:-1])
-        starts = np.flatnonzero(new_grp)
-        sizes = np.diff(np.append(starts, len(g)))
-        out = []
-        for k in np.unique(sizes):
-            if k < 2:
-                continue
-            offs = starts[sizes == k]
-            idx = offs[:, None] + np.arange(k)[None, :]
-            iu, ju = np.triu_indices(k, 1)
-            ai = idx[:, iu].ravel()
-            bi = idx[:, ju].ravel()
-            x = ph[ai] ^ ph[bi]
-            hd = _popcount64(x)
-            band_eq = np.stack(
-                [
-                    ((x >> np.uint64(8 * b)) & np.uint64(0xFF)) == 0
-                    for b in range(N_PHASH_BANDS)
-                ],
-                axis=1,
-            )
-            keep = (hd <= PHASH_HAMMING_T) & (band_eq.argmax(axis=1) == band[ai])
-            if keep.any():
-                a_, b_ = ids[ai[keep]], ids[bi[keep]]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "a": np.minimum(a_, b_),
-                            "b": np.maximum(a_, b_),
-                            "hamming": hd[keep].astype(np.int64),
-                        }
-                    )
-                )
-        return pd.concat(out, ignore_index=True) if out else empty
 
     pairs = bucketed_group_apply(
         ds.map_batches(expand, batch_format="pandas"),
         ["band", "band_val"],
-        pairs_per_bucket,
+        make_hamming_bucket_fn(N_PHASH_BANDS, 8, PHASH_HAMMING_T),
         n_buckets=32,
     )
     return (

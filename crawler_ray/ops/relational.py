@@ -505,6 +505,8 @@ def median_price_by_priority(sf_dir: str):
     Values are integer cents so Ray-vs-DuckDB equality is exact. Rank
     convention matches DuckDB ``quantile_disc``: element ceil(q*n),
     1-indexed."""
+    import math
+
     import numpy as np
 
     from .common import bucketed_sum
@@ -595,7 +597,12 @@ def median_price_by_priority(sf_dir: str):
             in_bucket = int(hg["cnt"].iloc[pos])
             lo, w = s["lo"], max(1.0, (s["hi"] - s["lo"]) / N_BUCKETS)
             s["k"] -= before
-            s["lo"] = int(lo + bucket * w)
+            # ceil, not floor: values are integers, and flooring a
+            # non-integer bucket edge readmits one integer strictly below
+            # the rank bucket that `before` already counted (k was
+            # decremented for it), shifting the selected rank by one on
+            # dense integer distributions (ADVICE r3, high)
+            s["lo"] = int(math.ceil(lo + bucket * w))
             s["hi"] = min(int(lo + (bucket + 1) * w) + 1, s["hi"])
             if s["hi"] - s["lo"] <= 1:
                 answers[g] = s["lo"]

@@ -86,6 +86,18 @@ class _Handler(BaseHTTPRequestHandler):
         self.server.requests.append((self.path, dict(self.headers)))
         n = int(self.headers.get("Content-Length", 0))
         params = dict(urllib.parse.parse_qsl(self.rfile.read(n).decode()))
+        if self.path == "/relay307":
+            # 307 must preserve method and body on re-issue
+            self.send_response(307)
+            self.send_header("Location", "/login")
+            self.end_headers()
+            return
+        if self.path == "/relay303":
+            # 303 converts the POST to a body-less GET
+            self.send_response(303)
+            self.send_header("Location", "/b")
+            self.end_headers()
+            return
         if self.path == "/login":
             if params.get("username") == USER and params.get("password") == PW:
                 self._page(
@@ -177,6 +189,34 @@ def test_form_post_transmits_credentials(site):
         None, bad, f"{base}/form", lambda u: False, fetch=LiveFetcher(bad).fetch
     )
     assert out2.status == "failed"  # 403: credentials genuinely checked
+
+
+def test_post_307_preserves_method_and_body(site):
+    """ADVICE r3: http-client's getRedirectedRequest keeps the method and
+    body across 307/308 (Fetch.hs:29-70) — a form POST answered by a 307
+    must re-POST the credentials at the new location, while a 303 must
+    downgrade to a body-less GET."""
+    from crawler_ray.formlogic import FormRequest
+
+    base, srv = site
+    f = LiveFetcher(_policy())
+    creds = (("username", USER), ("password", PW))
+
+    fr = f.fetch(FormRequest("l", "post", f"{base}/relay307", creds))
+    assert fr.ok, fr.error
+    # landed on the login success page: the body survived the 307 hop
+    assert "/secret" in fr.body
+    assert COOKIE in fr.set_cookies
+    assert fr.chain == [f"{base}/login", f"{base}/relay307"]
+    # the re-issued request really was a POST with a body
+    path, hdrs = srv.requests[-1]
+    assert path == "/login" and int(hdrs.get("Content-Length", 0)) > 0
+
+    fr3 = f.fetch(FormRequest("l", "post", f"{base}/relay303", creds))
+    assert fr3.ok and fr3.chain == [f"{base}/b", f"{base}/relay303"]
+    assert "leaf" in fr3.body
+    path3, hdrs3 = srv.requests[-1]
+    assert path3 == "/b" and "Content-Length" not in hdrs3
 
 
 def _crawl_live(seeds, policy, fetcher, max_rounds=10):

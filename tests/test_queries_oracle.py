@@ -208,6 +208,125 @@ def test_minhash_lsh_recall_vs_exact_jaccard(ray_session):
     assert recall >= floor, f"LSH recall {recall:.3f} below derived floor {floor:.3f}"
 
 
+def test_hamming_bucket_collapse_matches_bruteforce():
+    """ADVICE r3: the banded-Hamming enumerator collapses identical hashes
+    before the O(k^2) pass. Adversarial input: one 500-member exact-dup
+    clique (the case that OOMed triu before), plus near and far
+    neighbors. Output must equal brute force exactly, with each pair
+    emitted once across all bands (no Ray needed — pure bucket function)."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.ops.dedup import (
+        _popcount64,
+        expand_hash_bands,
+        make_hamming_bucket_fn,
+    )
+
+    rng = np.random.default_rng(7)
+    base = np.uint64(0x1234_5678_9ABC_DEF0)
+    hashes = [base] * 500  # the planted clique
+    for i in range(40):  # near neighbors: flip 1-3 bits
+        h = int(base)
+        for b in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
+            h ^= 1 << int(b)
+        hashes.append(np.uint64(h))
+    hashes += list(rng.integers(0, 2**63, size=200, dtype=np.int64).astype(np.uint64))
+    hashes = np.array(hashes, dtype=np.uint64)
+    ids = rng.permutation(len(hashes)).astype(np.int64)  # non-sorted ids
+
+    T, NB, BITS = 3, 4, 16
+    expanded = expand_hash_bands(ids, hashes.view(np.int64), NB, BITS)
+    # single bucket = all rows: exactly-once must hold across bands
+    got = make_hamming_bucket_fn(NB, BITS, T)(expanded)
+    got_pairs = list(zip(got["a"], got["b"], got["hamming"]))
+    assert len(got_pairs) == len(set(got_pairs)), "duplicate emission"
+
+    want = set()
+    for i in range(len(ids)):
+        x = hashes[i] ^ hashes[i + 1 :]
+        hd = _popcount64(x)
+        for j in np.flatnonzero(hd <= T):
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            want.add((min(a, b), max(a, b), int(hd[j])))
+    assert set(got_pairs) == want
+    assert len(want) >= 500 * 499 // 2  # the clique is actually in play
+
+
+def test_hash_min_components_converges_or_raises(ray_session):
+    """ADVICE r3: the BSP loop must iterate to convergence (a 12-node path
+    has diameter 11 > the old cap of 8) and RAISE, not silently return
+    partial labels, when the hard cap is hit."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.ops.dedup import hash_min_components
+
+    n = 12
+    e = pd.DataFrame(
+        {
+            "node": list(range(n - 1)) + list(range(1, n)),
+            "peer": list(range(1, n)) + list(range(n - 1)),
+        }
+    ).astype("int64")
+    seeds = pd.DataFrame({"node": range(n), "lbl": range(n)}).astype("int64")
+    out = (
+        hash_min_components(rd.from_pandas(e), rd.from_pandas(seeds))
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert list(out["lbl"]) == [0] * n  # one component, min label everywhere
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        hash_min_components(
+            rd.from_pandas(e), rd.from_pandas(seeds), max_iters=4
+        )
+
+
+def test_minhash_capped_bucket_emission_exact(ray_session):
+    """Value oracle for the degenerate-bucket cap (ADVICE r3, medium):
+    with max_bucket lowered so real buckets become degenerate, the
+    candidate set must equal the brute-force expectation — every pair
+    sharing >= 1 NON-degenerate band, emitted exactly once. The round-3
+    rule lost any pair whose FIRST matching band was degenerate even when
+    a later healthy band held it; the setup plants such 'rescued' pairs
+    (asserted > 0 so the test has teeth)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.dedup import _BH_COLS, MinHasher, N_BANDS, minhash_lsh_candidates
+
+    MAXB = 3
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    one = MinHasher()(docs)
+    one = one[one["band"] == 0].reset_index(drop=True)  # one row/doc, all bh cols
+    bh = one[_BH_COLS].to_numpy()
+    ids = one["doc_id"].to_numpy()
+    sizes: dict[tuple[int, int], int] = {}
+    for b in range(N_BANDS):
+        for h in bh[:, b]:
+            sizes[(b, int(h))] = sizes.get((b, int(h)), 0) + 1
+    iu, ju = np.triu_indices(len(ids), 1)
+    match = bh[iu] == bh[ju]
+    expected = set()
+    rescued = 0
+    for p in np.flatnonzero(match.any(axis=1)):
+        bands = np.flatnonzero(match[p])
+        elig = [b for b in bands if sizes[(int(b), int(bh[iu[p], b]))] <= MAXB]
+        if elig:
+            a, b_ = int(ids[iu[p]]), int(ids[ju[p]])
+            expected.add((min(a, b_), max(a, b_)))
+            rescued += elig[0] != bands[0]
+    assert rescued > 0, "setup has no rescued pairs - lower MAXB"
+
+    got = _to_pandas(minhash_lsh_candidates(SF_DIR, max_bucket=MAXB))
+    got_pairs = list(zip(got["a"].astype(int), got["b"].astype(int)))
+    assert len(got_pairs) == len(set(got_pairs)), "pair emitted more than once"
+    assert set(got_pairs) == expected
+
+
 def test_image_thumbnails_match_spec_ground_truth(ray_session):
     """Value oracle for image_thumbnails (VERDICT r2 #4): recompute the
     8x8 block-mean thumbnail from the spec's ground-truth pixels (via the
@@ -334,6 +453,12 @@ def test_median_histogram_selection_adversarial(ray_session, tmp_path):
     # generic continuous
     groups += ["GEN"] * 999
     prices += list(rng.uniform(10, 99_999, size=999).round(2))
+    # dense integers spanning > N_BUCKETS cents (ADVICE r3 high): every
+    # integer cent 0..10000 occupied, so a floored (non-ceil) bucket lower
+    # bound readmits exactly one already-counted value and shifts the
+    # selected rank (returned 4999 instead of 5000 before the fix)
+    groups += ["DENSE"] * 10001
+    prices += [i / 100.0 for i in range(10001)]
     d = tmp_path / "medtest"
     d.mkdir()
     pq.write_table(
