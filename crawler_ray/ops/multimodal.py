@@ -263,7 +263,6 @@ def phash_near_dups(sf_dir: str):
         ds.map_batches(expand, batch_format="pandas"),
         ["band", "band_val"],
         make_hamming_bucket_fn(N_PHASH_BANDS, 8, PHASH_HAMMING_T),
-        n_buckets=32,
     )
     return (
         pairs.to_pandas()
@@ -273,50 +272,49 @@ def phash_near_dups(sf_dir: str):
     )
 
 
-def image_keep_list(sf_dir: str):
+def image_keep_list(sf_dir: str, broadcast_cap: int = 500_000):
     """The image-modality dedup DELIVERABLE: page ids a training run
     keeps after collapsing every phash near-dup cluster (connected
     components over the exact Hamming<=6 pair set) to its minimum page
-    id. Composition mirrors ops/dedup.dedup_keep_list: the pair set and
-    its component map are SMALL relative to the corpus, so the drop set
-    broadcasts (ray.put) and applies as an in-stream filter over the
-    corpus read — no join shuffle. Components via the shared
-    hash_min_components BSP loop (same code path as the text-side
-    clusters)."""
-    import ray
-
+    id. Returns a DATASET (VERDICT r3 #2 — no driver materialization of
+    the keep side); the drop set applies via subtract_ids, which
+    broadcasts while small and switches to a bucketed anti-join above
+    ``broadcast_cap`` (the high-dup-rate web-corpus case). Components via
+    the shared hash_min_components BSP loop (same code path as the
+    text-side clusters)."""
+    from .common import subtract_ids
     from .dedup import hash_min_components
 
     pairs = phash_near_dups(sf_dir)
-    drop: set[int] = set()
-    if len(pairs):
-        edges = rd.from_pandas(
-            pd.DataFrame(
-                {
-                    "node": pd.concat([pairs["a"], pairs["b"]], ignore_index=True),
-                    "peer": pd.concat([pairs["b"], pairs["a"]], ignore_index=True),
-                }
-            ).astype("int64")
-        )
-        nodes = np.unique(
-            np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
-        )
-        labels = rd.from_pandas(
-            pd.DataFrame({"node": nodes, "lbl": nodes}).astype("int64")
-        )
-        comp = hash_min_components(edges, labels).to_pandas()
-        drop = set(comp.loc[comp["node"] != comp["lbl"], "node"].tolist())
-    ref = ray.put(drop)
-
     ds = rd.read_parquet(corpus_for_sf(sf_dir), columns=["image_id"])
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(ref)
-        pid = df["image_id"].str[3:].astype("int64")
-        return pd.DataFrame({"page_id": pid[~pid.isin(d)].to_numpy()})
-
-    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
-    return out.sort_values("page_id").reset_index(drop=True).astype("int64")
+    keep_ds = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"page_id": df["image_id"].str[3:].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    if not len(pairs):
+        return keep_ds
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node": pd.concat([pairs["a"], pairs["b"]], ignore_index=True),
+                "peer": pd.concat([pairs["b"], pairs["a"]], ignore_index=True),
+            }
+        ).astype("int64")
+    )
+    nodes = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+    labels = rd.from_pandas(
+        pd.DataFrame({"node": nodes, "lbl": nodes}).astype("int64")
+    )
+    comp = hash_min_components(edges, labels)
+    drop_ds = comp.map_batches(
+        lambda df: df.loc[df["node"] != df["lbl"], ["node"]]
+        .rename(columns={"node": "page_id"})
+        .astype("int64"),
+        batch_format="pandas",
+    )
+    return subtract_ids(keep_ds, drop_ds, "page_id", broadcast_cap=broadcast_cap)
 
 
 QUERIES = {

@@ -18,6 +18,7 @@ exact — float sums would differ by accumulation order.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -202,7 +203,6 @@ def events_hourly(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas", batch_size=65536),
         ["event_type", "hour"],
         ["n", "sum_value_cents"],
-        n_buckets=16,
     )
     return _ints(agg, ["n", "sum_value_cents"])
 
@@ -250,15 +250,28 @@ GROUP BY n_name
 """
 
 
-def top_parts(sf_dir: str):
+def top_parts(sf_dir: str, k: int = 10):
+    """Global top-k by retail price WITHOUT a global sort (VERDICT r3 #3):
+    each batch keeps its local top-k (vectorized nsmallest on the
+    (-cents, partkey) key), so at most k * n_blocks rows ever leave the
+    map stage; the driver merges that tiny set. No AllToAll/Sort operator
+    in the plan — the same partial-top-k shape as ann_topk/top_tokens."""
     ds = _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
-    ds = ds.map_batches(
-        lambda df: df.assign(retail_cents=_cents(df["p_retailprice"]).values)[
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(retail_cents=_cents(df["p_retailprice"]).values)[
             ["p_partkey", "p_name", "retail_cents"]
-        ],
-        batch_format="pandas",
+        ]
+        return out.sort_values(
+            ["retail_cents", "p_partkey"], ascending=[False, True]
+        ).head(k)
+
+    partial = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        partial.sort_values(["retail_cents", "p_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
-    return ds.sort(["retail_cents", "p_partkey"], descending=[True, False]).limit(10)
 
 
 TOP_PARTS_SQL = """
@@ -299,19 +312,25 @@ def user_sessions(sf_dir: str):
     ds = _t(sf_dir, "events", ["user_id", "ts"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        def one_user(u: pd.DataFrame) -> pd.Series:
-            ts = u["ts"].sort_values()
-            gaps = ts.diff() > pd.Timedelta(minutes=30)
-            return pd.Series(
-                {"n_sessions": int(gaps.sum()) + 1, "n_events": len(ts)}
-            )
-
-        out = g.groupby("user_id").apply(one_user).reset_index()
+        # fully vectorized (VERDICT r3 #4 — no per-user .apply): one sort
+        # of the bucket by (user_id, ts), session starts where the user
+        # changes OR the gap exceeds 30 min, then a single groupby-sum —
+        # per-bucket time is O(n log n) in rows, independent of user count
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        new_s = np.ones(len(g), dtype=np.int64)
+        new_s[1:] = (~same_user) | gap.to_numpy()[1:]
+        out = (
+            g.assign(n_sessions=new_s)
+            .groupby("user_id", as_index=False)
+            .agg(n_sessions=("n_sessions", "sum"), n_events=("n_sessions", "size"))
+        )
         out["n_sessions"] = out["n_sessions"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return bucketed_group_apply(ds, ["user_id"], per_bucket, n_buckets=16)
+    return bucketed_group_apply(ds, ["user_id"], per_bucket)
 
 
 USER_SESSIONS_SQL = """
@@ -409,7 +428,7 @@ def latest_order_per_customer(sf_dir: str):
         )
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
-    return bucketed_group_apply(ds, ["o_custkey"], per_bucket, n_buckets=16)
+    return bucketed_group_apply(ds, ["o_custkey"], per_bucket)
 
 
 LATEST_ORDER_SQL = """
@@ -484,7 +503,7 @@ def events_asof_order(sf_dir: str):
             }
         )
 
-    return bucketed_group_apply(both, ["k"], per_bucket, n_buckets=16)
+    return bucketed_group_apply(both, ["k"], per_bucket)
 
 
 def median_price_by_priority(sf_dir: str):
@@ -585,7 +604,6 @@ def median_price_by_priority(sf_dir: str):
             cents_ds().map_batches(hist_partial, batch_format="pandas"),
             ["g", "b"],
             ["cnt"],
-            n_buckets=8,
         ).to_pandas()
         collect: dict[str, tuple[int, int]] = {}  # group -> (lo, hi) range
         for g, s in active.items():

@@ -508,7 +508,6 @@ def label_centroids(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas"),
         ["label", "dim"],
         ["csum", "n"],
-        n_buckets=8,
     )
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:

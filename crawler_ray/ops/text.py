@@ -197,8 +197,8 @@ def top_tokens(sf_dir: str):
         )
 
     parts = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
-    cand = bucketed_group_apply(parts, ["token"], per_bucket_topk, n_buckets=16)
-    out = cand.to_pandas()  # <= 16 x K rows
+    cand = bucketed_group_apply(parts, ["token"], per_bucket_topk)
+    out = cand.to_pandas()  # <= n_buckets x K rows
     return (
         out.sort_values(["n", "token"], ascending=[False, True])
         .head(TOP_TOKENS_K)

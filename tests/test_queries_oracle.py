@@ -62,7 +62,8 @@ def test_query_matches_oracle(ray_session, con, name):
 
 # simhash graduated to a full SQL oracle in r2
 ROWS_ONLY = [
-    n for n in ("minhash_lsh_candidates", "ann_lsh", "ann_ivf",
+    n for n in ("minhash_lsh_candidates", "minhash_verified_pairs",
+                "dedup_keep_list_full", "ann_lsh", "ann_ivf",
                 "winnowing_fingerprints", "image_stats", "image_thumbnails",
                 "phash_near_dups", "image_keep_list")
 ]
@@ -76,6 +77,25 @@ def test_rows_only_queries_run(ray_session, name):
     # determinism: second run identical
     df2 = _to_pandas(entrymod.queries()[name](SF_DIR))
     assert _normalize(df).equals(_normalize(df2)), f"{name} not deterministic"
+
+
+def test_ops_bucket_count_invariance(ray_session, con, monkeypatch):
+    """VERDICT r3 #8: the ops-layer bucket counts are now derived from
+    cluster size (scaled_n_buckets) with one env knob; bucket count is
+    task granularity, never semantics. Pin that: the same oracled queries
+    produce identical (oracle-matching) results at two extreme settings."""
+    from crawler_ray.ops.common import scaled_n_buckets
+
+    for name in ("user_sessions", "events_hourly", "dedup_exact"):
+        outs = []
+        for nb in ("5", "64"):
+            monkeypatch.setenv("CRAWLER_RAY_N_BUCKETS", nb)
+            assert scaled_n_buckets() == int(nb)
+            outs.append(_normalize(_to_pandas(entrymod.queries()[name](SF_DIR))))
+        monkeypatch.delenv("CRAWLER_RAY_N_BUCKETS")
+        assert outs[0].equals(outs[1]), f"{name}: bucket count changed results"
+        sql = _normalize(con.sql(entrymod.oracle_sql()[name]).df())
+        assert len(outs[0]) == len(sql), name
 
 
 def test_ann_lsh_recall_vs_exact(ray_session):
@@ -325,6 +345,144 @@ def test_minhash_capped_bucket_emission_exact(ray_session):
     got_pairs = list(zip(got["a"].astype(int), got["b"].astype(int)))
     assert len(got_pairs) == len(set(got_pairs)), "pair emitted more than once"
     assert set(got_pairs) == expected
+
+
+def _keep_list_from_edges_cte(con, edges: pd.DataFrame) -> list[int]:
+    """DuckDB recursive-CTE keep list from a given verified edge set:
+    exact content-hash keepers minus non-minimum connected-component
+    members. The independent oracle for dedup_keep_list_full."""
+    con.register("edges_df", edges)
+    con.execute("CREATE OR REPLACE TEMP TABLE vedges AS SELECT * FROM edges_df")
+    return [
+        r[0]
+        for r in con.execute(
+            """
+            WITH RECURSIVE sym AS (
+              SELECT a AS node, b AS peer FROM vedges
+              UNION ALL
+              SELECT b AS node, a AS peer FROM vedges
+            ), nodes AS (
+              SELECT DISTINCT node FROM sym
+            ), reach(src, dst) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.src, e.peer FROM reach r JOIN sym e ON e.node = r.dst
+            ), clusters AS (
+              SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            ), exact_keep AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            )
+            SELECT k.doc_id FROM exact_keep k
+            LEFT JOIN clusters c ON c.doc_id = k.doc_id
+            WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
+            ORDER BY k.doc_id
+            """
+        ).fetchall()
+    ]
+
+
+def test_dedup_keep_list_full_vs_duckdb_cte(ray_session, con):
+    """VERDICT r3 #1: the production composition (full-table LSH ->
+    exact-Jaccard verification -> components -> keep list) must match a
+    DuckDB recursive-CTE oracle computed from the Ray-VERIFIED edge set
+    (LSH bounds recall, so the oracle consumes the same edges — the CTE
+    independently recomputes components + exact keepers + composition)."""
+    edges_df = _to_pandas(entrymod.queries()["minhash_verified_pairs"](SF_DIR))
+    assert len(edges_df) > 0, "no verified edges at sf0.001 - web too small"
+    # every verified edge clears the threshold by construction
+    assert (edges_df["jac_e6"] >= 300_000).all()
+
+    want = _keep_list_from_edges_cte(con, edges_df[["a", "b"]])
+    got = sorted(
+        _to_pandas(entrymod.queries()["dedup_keep_list_full"](SF_DIR))[
+            "doc_id"
+        ].tolist()
+    )
+    assert got == want
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert len(got) < n_docs  # near-dups were actually dropped
+
+
+def test_verified_pairs_agree_with_exact_slice(ray_session):
+    """Slice agreement (VERDICT r3 #1): verification is EXACT on whatever
+    candidates LSH yields — restricted to the doc_id < JACCARD_SLICE
+    slice, the verified edge set (pairs AND jac_e6 values) must equal
+    (exact all-pairs slice edges) ∩ (LSH candidate pairs)."""
+    from crawler_ray.ops.dedup import JACCARD_SLICE
+
+    gt = _to_pandas(entrymod.queries()["ngram_jaccard_pairs"](SF_DIR))
+    cand = _to_pandas(entrymod.queries()["minhash_lsh_candidates"](SF_DIR))
+    ver = _to_pandas(entrymod.queries()["minhash_verified_pairs"](SF_DIR))
+
+    cand_slice = {
+        (a, b)
+        for a, b in zip(cand["a"].astype(int), cand["b"].astype(int))
+        if a < JACCARD_SLICE and b < JACCARD_SLICE
+    }
+    gt_vals = {
+        (int(a), int(b)): int(j)
+        for a, b, j in zip(gt["a"], gt["b"], gt["jac_e6"])
+    }
+    want = {(p, gt_vals[p]) for p in cand_slice if p in gt_vals}
+    got = {
+        ((int(a), int(b)), int(j))
+        for a, b, j in zip(ver["a"], ver["b"], ver["jac_e6"])
+        if int(a) < JACCARD_SLICE and int(b) < JACCARD_SLICE
+    }
+    assert got == want
+    assert len(want) > 0, "no verified slice edges - test has no teeth"
+
+
+def test_dedup_keep_list_full_anti_join_on_high_dup_corpus(ray_session, tmp_path):
+    """VERDICT r3 #2: a planted ~50%-dup corpus routed through the
+    bucketed anti-join path (broadcast_cap=0) must produce the identical
+    keep list to the broadcast path AND match the DuckDB CTE oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.dedup import dedup_keep_list_full, minhash_verified_pairs
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i:03d}" for i in range(400)]
+    texts, ids = [], []
+    base_texts = [
+        " ".join(rng.choice(words, size=60)) for _ in range(100)
+    ]
+    did = 0
+    for t in base_texts:
+        texts.append(t)
+        ids.append(did)
+        did += 1
+        # ~50% of the corpus is a near-copy (one word changed) or exact copy
+        r = rng.random()
+        if r < 0.5:
+            toks = t.split()
+            toks[int(rng.integers(len(toks)))] = "MUTATED"
+            texts.append(" ".join(toks) if r < 0.25 else t)
+            ids.append(did)
+            did += 1
+    d = tmp_path / "highdup"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        d / "documents.parquet",
+    )
+    broadcast = sorted(
+        _to_pandas(dedup_keep_list_full(str(d)))["doc_id"].tolist()
+    )
+    anti_join = sorted(
+        _to_pandas(dedup_keep_list_full(str(d), broadcast_cap=0))["doc_id"].tolist()
+    )
+    assert anti_join == broadcast
+    assert len(broadcast) < len(ids)  # the dups were dropped
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    edges_df = _to_pandas(minhash_verified_pairs(str(d)))[["a", "b"]]
+    assert _keep_list_from_edges_cte(c, edges_df) == broadcast
 
 
 def test_image_thumbnails_match_spec_ground_truth(ray_session):
@@ -627,6 +785,11 @@ def test_image_keep_list_vs_union_find(ray_session):
         roots.setdefault(find(p), p)  # pid ascending -> first seen is min
     expected = sorted(p for p in pid.tolist() if find(p) == p or roots[find(p)] == p)
 
-    got = image_keep_list(SF_DIR)["page_id"].tolist()
+    got = sorted(_to_pandas(image_keep_list(SF_DIR))["page_id"].tolist())
     assert got == expected
     assert len(got) < len(pid)  # something was actually dropped
+    # anti-join path (broadcast_cap=0 forces it): identical output
+    got_aj = sorted(
+        _to_pandas(image_keep_list(SF_DIR, broadcast_cap=0))["page_id"].tolist()
+    )
+    assert got_aj == expected
