@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "phash_near_dups",
     "image_keep_list",
+    "dedup_keep_list_full",
 ]
 
 
@@ -198,7 +199,11 @@ def run_bench() -> dict:
     # leaving a 300k-page crawl without enough per-round work to feed 32
     # cores (round walls were barrier/straggler-bound); 1M pages restores
     # the work:fixed-cost ratio the 10^10-frontier design point implies.
-    n_pages = min(max(10_000, n_docs * 200), 1_000_000)
+    # GRAFT_BENCH_MAX_PAGES raises the cap for the large-web scaling tier
+    # (VERDICT r3 #5: rounds big enough that per-round fixed cost is <2%
+    # of wall); default stays 1M so BENCH_r{N} is comparable across rounds
+    max_pages = int(os.environ.get("GRAFT_BENCH_MAX_PAGES", "1000000"))
+    n_pages = min(max(10_000, n_docs * 200), max_pages)
     n_hosts = max(100, n_pages // 25)
     N_FETCH_SHARDS = 256
     spec, corpus_path = ensure_web_sharded(n_pages, n_hosts, N_FETCH_SHARDS, seed=42)
@@ -243,19 +248,28 @@ def run_bench() -> dict:
 
     # --- query suite ----------------------------------------------------
     qs = entrymod.queries()
+    # best-of-2 per query (VERDICT r3 #6): the first execution of a query
+    # family after idle pays one-off costs (page cache, plasma warmup,
+    # worker import of that op's modules) that misrepresent steady-state —
+    # events_asof_order benched 8.5s cold vs 2.5s steady. Both runs are
+    # recorded implicitly in the total; the per-query number is the best.
+    n_query_runs = max(1, int(os.environ.get("GRAFT_BENCH_QUERY_RUNS", "2")))
     for name in BENCH_QUERIES if not crawl_only else []:
-        t0 = time.time()
-        result = qs[name](sf_dir)
-        # force execution
-        import pandas as pd
-        import pyarrow as pa
-        import ray.data as rd
+        secs = []
+        for _ in range(n_query_runs):
+            t0 = time.time()
+            result = qs[name](sf_dir)
+            # force execution
+            import pandas as pd
+            import pyarrow as pa
+            import ray.data as rd
 
-        if isinstance(result, rd.Dataset):
-            result.count()
-        elif isinstance(result, (pd.DataFrame, pa.Table)):
-            len(result)
-        timings[name] = round(time.time() - t0, 3)
+            if isinstance(result, rd.Dataset):
+                result.count()
+            elif isinstance(result, (pd.DataFrame, pa.Table)):
+                len(result)
+            secs.append(time.time() - t0)
+        timings[name] = round(min(secs), 3)
 
     total = round(time.time() - total_t0, 3)
     return {
@@ -357,8 +371,9 @@ def run_multinode() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_nodes, hi_nodes = 1, 4
+    n_rounds = int(os.environ.get("GRAFT_MULTINODE_RUNS", "3"))
     runs_lo, runs_hi = [], []
-    for _ in range(3):
+    for _ in range(n_rounds):
         runs_hi.append(one(hi_nodes))
         runs_lo.append(one(lo_nodes))
     r_lo = max(runs_lo, key=lambda r: r["crawl"]["urls_per_sec"])
@@ -366,7 +381,7 @@ def run_multinode() -> dict:
     tput_lo = r_lo["crawl"]["urls_per_sec"]
     tput_hi = r_hi["crawl"]["urls_per_sec"]
     return {
-        "metric": "crawl scaling efficiency (urls/sec, 1 vs 4 raylet nodes, best of 3)",
+        "metric": f"crawl scaling efficiency (urls/sec, 1 vs 4 raylet nodes, best of {n_rounds})",
         "node_cpus": int(os.environ.get("GRAFT_NODE_CPUS", "8")),
         "nodes_lo": lo_nodes,
         "nodes_hi": hi_nodes,

@@ -506,6 +506,130 @@ def events_asof_order(sf_dir: str):
     return bucketed_group_apply(both, ["k"], per_bucket)
 
 
+def events_sliding_window(sf_dir: str):
+    """HOPPING (sliding) window aggregate: per event_type, 1-hour windows
+    advancing every 15 minutes (count + value cents). The missing window
+    shape next to the tumbling events_hourly: each event belongs to
+    exactly 4 overlapping windows, so the streaming form is a vectorized
+    per-batch EXPANSION (numpy repeat, window_start = 15-min bucket minus
+    k*15min for k in 0..3) folded immediately by a per-batch partial
+    groupby — rows leaving the map stage are bounded by (types x windows),
+    not 4x the event count — then one bucketed sum. No window library, no
+    per-row Python."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    hop_ns = 15 * 60 * 1_000_000_000  # 15 min in ns
+    n_hops = 4  # window 60 min / hop 15 min
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"]).to_numpy()
+        # parquet timestamps are us-resolution; normalize to ns explicitly
+        ts_ns = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        tb = (ts_ns // hop_ns) * hop_ns
+        k = np.tile(np.arange(n_hops, dtype=np.int64), len(df))
+        ws = np.repeat(tb, n_hops) - k * hop_ns
+        x = pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].to_numpy(), n_hops),
+                "window_start": pd.to_datetime(ws).strftime("%Y-%m-%d %H:%M:%S"),
+                "n": np.ones(len(ws), dtype=np.int64),
+                "sum_value_cents": np.repeat(cents, n_hops),
+            }
+        )
+        return x.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"), sum_value_cents=("sum_value_cents", "sum")
+        )
+
+    agg = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "window_start"],
+        ["n", "sum_value_cents"],
+    )
+    return _ints(agg, ["n", "sum_value_cents"])
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+GROUP BY event_type, window_start
+"""
+
+
+def order_repeats_30d(sf_dir: str):
+    """RANGE join: per order, how many OTHER orders the same customer
+    placed within the following 30 days (repeat-purchase window). Ray
+    Data has no range-join primitive; the scale shape is the same
+    two-sided co-partition as events_asof_order (ONE bucketed shuffle on
+    the customer key — a self range join needs no tagging union) with a
+    fully vectorized per-bucket interval count: probe rows and window
+    bounds compact to RANK space (codes for keys, ranks over the union of
+    dates and bounds — order-isomorphic, so [lo, hi) comparisons stay
+    exact), pack code*M + rank into int64 (no overflow: codes, M <=
+    bucket rows), sort once, and every order's count is the difference of
+    two ``np.searchsorted`` probes (the strict lower bound excludes the
+    probe row itself) — no per-order loop, no
+    all-pairs expansion. Partitioning assumption: one customer's orders
+    fit one task (salt hot keys if a single key outweighs a bucket)."""
+    from .common import bucketed_group_apply
+
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    window_ns = 30 * 24 * 3600 * 1_000_000_000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["o_custkey"].astype("int64"),
+                "ts_ns": df["o_orderdate"]
+                .astype("datetime64[ns]")
+                .astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["k"].to_numpy())
+        ts = g["ts_ns"].to_numpy()
+        lo = ts  # window (ts, ts + 30d): strictly-after same-day self
+        hi = ts + window_ns
+        ur = np.unique(np.concatenate([ts, hi]))
+        m = np.int64(len(ur) + 1)
+        keys = codes * m + np.searchsorted(ur, ts)
+        probe_lo = codes * m + np.searchsorted(ur, lo, side="right")
+        probe_hi = codes * m + np.searchsorted(ur, hi, side="left")
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        # strictly-later-than-lo .. before-hi; same-date peers (distinct
+        # orderkeys, equal o_orderdate) are NOT counted — the window is
+        # (o_orderdate, o_orderdate + 30d), matching the SQL's b > a
+        n = np.searchsorted(sk, probe_hi, side="left") - np.searchsorted(
+            sk, probe_lo, side="left"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "n_repeats": n.astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(
+        od.map_batches(prep, batch_format="pandas"), ["k"], per_bucket
+    )
+
+
+ORDER_REPEATS_SQL = """
+SELECT a.o_orderkey,
+       CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_repeats
+FROM orders a LEFT JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+GROUP BY a.o_orderkey
+"""
+
+
 def median_price_by_priority(sf_dir: str):
     """EXACT distributed median (``quantile_disc(0.5)``) per group via
     iterative histogram selection — the scale shape for exact order
@@ -730,6 +854,8 @@ SELECT event_id, user_id, asof_orderkey FROM (
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "events_asof_order": (events_asof_order, EVENTS_ASOF_SQL),
+    "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_SQL),
+    "order_repeats_30d": (order_repeats_30d, ORDER_REPEATS_SQL),
     "median_price_by_priority": (median_price_by_priority, MEDIAN_PRICE_SQL),
     "stratified_sample_customers": (stratified_sample_customers, STRATIFIED_SAMPLE_SQL),
     "latest_order_per_customer": (latest_order_per_customer, LATEST_ORDER_SQL),

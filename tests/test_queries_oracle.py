@@ -98,6 +98,22 @@ def test_ops_bucket_count_invariance(ray_session, con, monkeypatch):
         assert len(outs[0]) == len(sql), name
 
 
+def test_range_and_sliding_window_have_teeth(ray_session):
+    """Non-vacuity guards for the two round-4 window/join operators: an
+    events x orders range join would pass its oracle trivially (orders
+    are 1992-98, events 2024 — every count 0), which is why the range
+    join is an orders SELF-join. Pin that both ops produce non-trivial
+    structure so a vacuous rewrite can't sneak past the value oracle."""
+    rep = _to_pandas(entrymod.queries()["order_repeats_30d"](SF_DIR))
+    assert (rep["n_repeats"] > 0).sum() > 0, "range join is vacuous"
+    sw = _to_pandas(entrymod.queries()["events_sliding_window"](SF_DIR))
+    hourly = _to_pandas(entrymod.queries()["events_hourly"](SF_DIR))
+    # 15-min hop x 1-h window: every event lands in 4 windows, so total
+    # n quadruples the tumbling count; window count is ~4x hour count
+    assert sw["n"].sum() == 4 * hourly["n"].sum()
+    assert len(sw) > len(hourly)
+
+
 def test_ann_lsh_recall_vs_exact(ray_session):
     from crawler_ray.ops.similarity import RECALL_FLOOR
 
