@@ -204,6 +204,8 @@ def run_bench() -> dict:
     # of wall); default stays 1M so BENCH_r{N} is comparable across rounds
     max_pages = int(os.environ.get("GRAFT_BENCH_MAX_PAGES", "1000000"))
     n_pages = min(max(10_000, n_docs * 200), max_pages)
+    if os.environ.get("GRAFT_BENCH_PAGES"):  # exact override (scaling tiers)
+        n_pages = int(os.environ["GRAFT_BENCH_PAGES"])
     n_hosts = max(100, n_pages // 25)
     N_FETCH_SHARDS = 256
     spec, corpus_path = ensure_web_sharded(n_pages, n_hosts, N_FETCH_SHARDS, seed=42)
