@@ -692,6 +692,113 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.25
 """
 
 
+EMB_DUP_T_E6 = 250_000  # cos_e6 threshold (matches the bounded baseline)
+EMB_DUP_ASSIGN = 4  # multi-assignment width (P=3: recall 0.81, P=4: 0.94)
+EMB_DUP_TARGET_CELL = 2_000  # expected rows per cell -> cell count scales with N
+
+
+def embedding_dup_pairs_full(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the FULL embeddings table —
+    the scale path the bounded embedding_dup_pairs baseline approximates
+    exhaustively. Cluster-then-compare (FAISS-IVF shape, reusing the
+    ann_ivf k-means trainer):
+
+    1. train spherical k-means on a driver-bounded sample; the CELL COUNT
+       SCALES WITH THE TABLE (n_rows / EMB_DUP_TARGET_CELL, floor 16), so
+       expected in-cell all-pairs work stays ~TARGET_CELL^2 regardless of
+       corpus size (raise the target only with task memory);
+    2. every vector joins its top-EMB_DUP_ASSIGN cells (multi-assignment
+       recovers boundary pairs two single assignments would split);
+    3. ONE bucketed shuffle on cell id; inside each cell an exact
+       double-precision cosine matmul emits (a, b, cos_e6) for cos >=
+       threshold — verification is exact, so precision is 1 and recall is
+       the only approximation (pairs sharing no top-P cell);
+    4. pairs found in several shared cells dedupe in a final bucketed
+       pass on (a, b).
+
+    Rows-only for the driver (candidate generation is probabilistic);
+    tests pin slice agreement with the exact vec_id<300 oracle pairs and
+    a measured recall floor vs the exact all-pairs set."""
+    import ray
+
+    from .common import bucketed_group_apply
+    from .similarity import _emb, _spherical_kmeans
+
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    n_cells = max(16, n_rows // EMB_DUP_TARGET_CELL)
+    stride = max(1, n_rows // 4096)
+
+    def take_sample(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].to_numpy() % stride == 0]
+
+    sample = np.stack(
+        ds.map_batches(take_sample, batch_format="pandas")
+        .to_pandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent_ref = ray.put(_spherical_kmeans(sample, n_cells))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(cent_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        p = min(EMB_DUP_ASSIGN, len(cent))
+        cells = np.argsort(-(mat @ cent.T), axis=1)[:, :p]  # top-P cells
+        return pd.DataFrame(
+            {
+                "cell": cells.ravel().astype("int64"),
+                "vec_id": np.repeat(df["vec_id"].to_numpy(), p),
+                "embedding": np.repeat(df["embedding"].to_numpy(), p),
+            }
+        )
+
+    def in_cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # a bucket may hold SEVERAL cells (hash(cell) % n_buckets) — pairs
+        # are per CELL, so group first; the loop is over the few cells of
+        # one bucket, each iteration a vectorized matmul
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "cos_e6": pd.Series([], dtype="int64"),
+            }
+        )
+        out = []
+        for _, c in g.groupby("cell"):
+            if len(c) < 2:
+                continue
+            ids = c["vec_id"].to_numpy()
+            mat = np.stack(c["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(c), 1)
+            keep = sims[iu, ju] >= EMB_DUP_T_E6 / 1e6
+            if not keep.any():
+                continue
+            ia, ib = ids[iu[keep]], ids[ju[keep]]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "a": np.minimum(ia, ib),
+                        "b": np.maximum(ia, ib),
+                        "cos_e6": np.floor(
+                            1e6 * sims[iu[keep], ju[keep]]
+                        ).astype("int64"),
+                    }
+                ).astype("int64")
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    cand = bucketed_group_apply(
+        ds.map_batches(assign, batch_format="pandas"), ["cell"], in_cell_pairs
+    )
+    return bucketed_group_apply(
+        cand, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"])
+    )
+
+
 
 
 def dedup_clusters(sf_dir: str):
@@ -1127,5 +1234,6 @@ QUERIES = {
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_NEAR_SQL),
     "embedding_dup_pairs": (embedding_dup_pairs, EMBEDDING_DUP_SQL),
+    "embedding_dup_pairs_full": (embedding_dup_pairs_full, None),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }

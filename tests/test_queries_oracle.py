@@ -63,7 +63,8 @@ def test_query_matches_oracle(ray_session, con, name):
 # simhash graduated to a full SQL oracle in r2
 ROWS_ONLY = [
     n for n in ("minhash_lsh_candidates", "minhash_verified_pairs",
-                "dedup_keep_list_full", "ann_lsh", "ann_ivf",
+                "dedup_keep_list_full", "embedding_dup_pairs_full",
+                "ann_lsh", "ann_ivf",
                 "winnowing_fingerprints", "image_stats", "image_thumbnails",
                 "phash_near_dups", "image_keep_list")
 ]
@@ -499,6 +500,57 @@ def test_dedup_keep_list_full_anti_join_on_high_dup_corpus(ray_session, tmp_path
     )
     edges_df = _to_pandas(minhash_verified_pairs(str(d)))[["a", "b"]]
     assert _keep_list_from_edges_cte(c, edges_df) == broadcast
+
+
+def test_embedding_dup_full_precision_and_recall(ray_session):
+    """Ground truth for the full-table embedding near-dup path: exact
+    numpy all-pairs cosine over the whole embeddings table. Precision
+    must be exactly 1 (in-cell verification is exact — every emitted pair
+    and its cos_e6 value recompute identically), recall >= 0.85 at the
+    base threshold (multi-assignment P=4 measured 0.94; pairs missed are
+    those sharing no top-P cell), and the slice restricted to the
+    vec_id<300 SQL-oracle domain must be a subset of the oracle's pairs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.dedup import EMB_DUP_T_E6
+
+    got = _to_pandas(entrymod.queries()["embedding_dup_pairs_full"](SF_DIR))
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = s[iu, ju] >= EMB_DUP_T_E6 / 1e6
+    a_, b_ = ids[iu[keep]], ids[ju[keep]]
+    exact = {
+        (int(x), int(y)): int(np.floor(1e6 * c))
+        for x, y, c in zip(
+            np.minimum(a_, b_), np.maximum(a_, b_), s[iu[keep], ju[keep]]
+        )
+    }
+    gotp = {
+        (int(a), int(b)): int(c)
+        for a, b, c in zip(got["a"], got["b"], got["cos_e6"])
+    }
+    # precision 1: every emitted pair is a true pair with the exact value
+    assert set(gotp) <= set(exact)
+    for p, v in gotp.items():
+        assert v == exact[p], p
+    recall = len(gotp) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.3f} below floor"
+    # slice agreement with the SQL-oracled bounded baseline's domain
+    oracle_pairs = set(
+        map(
+            tuple,
+            _to_pandas(entrymod.queries()["embedding_dup_pairs"](SF_DIR))[
+                ["a", "b"]
+            ].to_numpy(),
+        )
+    )
+    slice_got = {p for p in gotp if p[0] < 300 and p[1] < 300}
+    assert slice_got <= oracle_pairs
 
 
 def test_image_thumbnails_match_spec_ground_truth(ray_session):
