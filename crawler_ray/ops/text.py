@@ -214,6 +214,127 @@ GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
 """
 
 
+TFIDF_K = 3
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
+    """Per-document top-k terms by tf-idf (score_e6 = tf * round_half_away
+    (1e6 * ln(N/df))) — the classic two-sided text composition: per-doc
+    term frequencies (one pass), corpus document frequencies (combiner +
+    bucketed sum), a co-partitioned tf<-df join on token (tag, union, ONE
+    bucketed shuffle — no vocabulary broadcast: at 100 TB the vocab is
+    itself large), then a per-doc vectorized top-k keyed by doc_id.
+    Integer-exact vs the SQL oracle: idf uses ``math.log`` (libm, the
+    same C library DuckDB's ln calls) on the few DISTINCT df values and
+    the same half-away rounding as the money columns; ties beyond
+    (score, token) cannot occur since token is unique per doc."""
+    import math
+
+    from .common import bucketed_group_apply
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_tok = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            toks = _WORD.findall(t.lower())
+            out_doc += [d] * len(toks)
+            out_tok += toks
+        x = pd.DataFrame({"doc_id": out_doc, "token": out_tok})
+        if not len(x):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "token": pd.Series([], dtype="object"),
+                    "tf": pd.Series([], dtype="int64"),
+                }
+            )
+        # a document is one row, never split across batches -> per-batch
+        # (doc, token) counts ARE the exact per-doc term frequencies
+        g = x.groupby(["doc_id", "token"], as_index=False).size()
+        g.columns = ["doc_id", "token", "tf"]
+        return g.astype({"doc_id": "int64", "tf": "int64"})
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+
+    # document frequency: tf rows are distinct per (doc, token), so df is
+    # a per-token row count — partial counts per batch, bucketed exact sum
+    def df_partial(x: pd.DataFrame) -> pd.DataFrame:
+        g = x.groupby("token", as_index=False).size()
+        g.columns = ["token", "df"]
+        g["doc_id"] = np.int64(-1)
+        g["tf"] = np.int64(-1)
+        return g[["doc_id", "token", "tf", "df"]].astype(
+            {"df": "int64", "doc_id": "int64", "tf": "int64"}
+        )
+
+    def tag_tf(x: pd.DataFrame) -> pd.DataFrame:
+        return x.assign(df=np.int64(-1))[["doc_id", "token", "tf", "df"]]
+
+    both = tf.map_batches(tag_tf, batch_format="pandas").union(
+        tf.map_batches(df_partial, batch_format="pandas")
+    )
+
+    def join_df(g: pd.DataFrame) -> pd.DataFrame:
+        dfs = (
+            g.loc[g["doc_id"] == -1]
+            .groupby("token", as_index=False)["df"]
+            .sum()
+        )
+        rows = g.loc[g["doc_id"] != -1, ["doc_id", "token", "tf"]]
+        return rows.merge(dfs, on="token", how="inner")
+
+    joined = bucketed_group_apply(both, ["token"], join_df)
+
+    def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # idf per DISTINCT df value with math.log (libm — bit-identical to
+        # DuckDB's ln), half-away rounding like the money columns
+        idf = {
+            int(v): int(math.floor(1e6 * math.log(n_docs / v) + 0.5))
+            for v in g["df"].unique()
+        }
+        g = g.assign(
+            score_e6=(
+                g["tf"].to_numpy()
+                * np.array([idf[int(v)] for v in g["df"]], dtype=np.int64)
+            )
+        )
+        g = g.sort_values(
+            ["doc_id", "score_e6", "token"], ascending=[True, False, True]
+        )
+        out = g.groupby("doc_id", as_index=False).head(k)
+        return out[["doc_id", "token", "tf", "score_e6"]].astype(
+            {"doc_id": "int64", "tf": "int64", "score_e6": "int64"}
+        )
+
+    return bucketed_group_apply(joined, ["doc_id"], per_doc_topk)
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf,
+         t.tf * CAST(ROUND(1000000 * ln(CAST(n.n AS DOUBLE) / d.df)) AS BIGINT)
+           AS score_e6
+  FROM tf t JOIN df d ON d.token = t.token CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_e6 DESC, token
+  ) AS rn FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_e6
+FROM ranked WHERE rn <= {TFIDF_K}
+"""
+
+
 MIN_WORDS = 20
 MAX_STOP_PCT = 60
 MIN_CHARS = 80
@@ -383,6 +504,7 @@ QUERIES = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "bpe_pretokens": (bpe_pretokens, BPE_PRETOKENS_SQL),
     "top_tokens": (top_tokens, TOP_TOKENS_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "dataset_split": (dataset_split, DATASET_SPLIT_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
