@@ -335,6 +335,66 @@ FROM ranked WHERE rn <= {TFIDF_K}
 """
 
 
+def repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1, adapted word-level because this corpus is single-line):
+    ``dup_word_frac_e6`` = (n_words - n_unique_words) / n_words and
+    ``top_bigram_frac_e6`` = count of the most frequent word bigram /
+    total bigrams. Pure streaming map_batches (the quality_filter shape);
+    fractions are floor(1e6 * x) with the identical float expression on
+    both sides so the SQL compare is exact."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        dup, top = [], []
+        for t in df["text"]:
+            toks = np.array(_WORD.findall(t.lower()), dtype=object)
+            nw = len(toks)
+            if nw == 0:
+                dup.append(0)
+                top.append(0)
+                continue
+            nu = len(np.unique(toks))
+            dup.append(int(np.floor(1_000_000.0 * (nw - nu) / nw)))
+            if nw >= 2:
+                bgs = toks[:-1] + " " + toks[1:]  # object-array elementwise
+                _, c = np.unique(bgs, return_counts=True)
+                top.append(int(np.floor(1_000_000.0 * int(c.max()) / (nw - 1))))
+            else:
+                top.append(0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "dup_word_frac_e6": pd.Series(dup, dtype="int64"),
+                "top_bigram_frac_e6": pd.Series(top, dtype="int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS i,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+), words AS (
+  SELECT doc_id, COUNT(*) AS nw, COUNT(DISTINCT tok) AS nu
+  FROM tok GROUP BY doc_id
+), bgc AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, COUNT(*) AS c
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id, bg
+), bgm AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_bg FROM bgc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(FLOOR(1000000.0 * (w.nw - w.nu) / w.nw) AS BIGINT) AS dup_word_frac_e6,
+       CAST(COALESCE(FLOOR(1000000.0 * m.max_c / m.n_bg), 0) AS BIGINT) AS top_bigram_frac_e6
+FROM words w LEFT JOIN bgm m ON m.doc_id = w.doc_id
+"""
+
+
 MIN_WORDS = 20
 MAX_STOP_PCT = 60
 MIN_CHARS = 80
@@ -505,6 +565,7 @@ QUERIES = {
     "bpe_pretokens": (bpe_pretokens, BPE_PRETOKENS_SQL),
     "top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "repetition_signals": (repetition_signals, REPETITION_SQL),
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "dataset_split": (dataset_split, DATASET_SPLIT_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
