@@ -289,10 +289,28 @@ def ann_lsh(sf_dir: str):
 # (16, 6) measures recall 0.71-0.81 across the test tiers at a per-query
 # probed fraction of 6/16 = 0.375; on a real clustered embedding corpus
 # the same structure probes far less for the same recall.
-IVF_CLUSTERS = 16
-IVF_NPROBE = 6
+IVF_CLUSTERS = 16  # floor; the effective count scales with the table
+IVF_NPROBE = 6  # floor; scales with the effective cell count
 IVF_TRAIN_CAP = 4096
 IVF_RECALL_FLOOR = 0.6
+
+
+def ivf_cells(n_rows: int) -> int:
+    """Table-size-derived IVF cell count (VERDICT r3 #8 — 16 was a
+    sandbox constant): the FAISS 4*sqrt(N) rule, bounded so cells hold
+    >= 32 rows (tiny tables keep the floor of 16 — toy behavior and the
+    cached index keys are unchanged at the test tiers). Env override:
+    ``CRAWLER_RAY_IVF_CLUSTERS``."""
+    env = os.environ.get("CRAWLER_RAY_IVF_CLUSTERS")
+    if env:
+        return int(env)
+    return max(IVF_CLUSTERS, min(int(4 * n_rows**0.5), n_rows // 32))
+
+
+def ivf_nprobe(n_cells: int) -> int:
+    """Probe width scaled to the cell count (cells/16, floor IVF_NPROBE)
+    so the probed FRACTION stays roughly constant as cells grow."""
+    return max(IVF_NPROBE, n_cells // 16)
 
 
 def _spherical_kmeans(sample: np.ndarray, k: int, iters: int = 15) -> np.ndarray:
@@ -329,8 +347,11 @@ def _ensure_ivf_index(sf_dir: str) -> tuple[str, int, np.ndarray]:
     import json
     import shutil
 
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    n_cells = ivf_cells(n_rows)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:ivf:{IVF_CLUSTERS}:{IVF_TRAIN_CAP}:v1".encode()
+        f"{os.path.abspath(sf_dir)}:ivf:{n_cells}:{IVF_TRAIN_CAP}:v1".encode()
     ).hexdigest()[:12]
     idx_dir = f"/tmp/crawler_ray_cache/ivfidx_{key}"
     meta = os.path.join(idx_dir, "meta.json")
@@ -338,9 +359,6 @@ def _ensure_ivf_index(sf_dir: str) -> tuple[str, int, np.ndarray]:
         with open(meta) as f:
             m = json.load(f)
         return idx_dir, m["n_rows"], np.asarray(m["centroids"], dtype=np.float64)
-
-    ds = _emb(sf_dir)
-    n_rows = ds.count()
     stride = max(1, n_rows // IVF_TRAIN_CAP)
 
     def take_sample(df: pd.DataFrame) -> pd.DataFrame:
@@ -352,7 +370,7 @@ def _ensure_ivf_index(sf_dir: str) -> tuple[str, int, np.ndarray]:
         .to_numpy()
     ).astype(np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    cent = _spherical_kmeans(sample, IVF_CLUSTERS)
+    cent = _spherical_kmeans(sample, n_cells)
 
     # one distributed Lloyd refinement pass over the FULL corpus
     ref0 = ray.put(cent)
@@ -424,7 +442,7 @@ def ann_ivf(sf_dir: str):
     qm, qids = _query_matrix(sf_dir)
     idx_dir, total_rows, cent = _ensure_ivf_index(sf_dir)
 
-    qcells = np.argsort(-(qm @ cent.T), axis=1)[:, :IVF_NPROBE]
+    qcells = np.argsort(-(qm @ cent.T), axis=1)[:, : ivf_nprobe(len(cent))]
     probes: dict[int, list[int]] = {}
     for qi in range(len(qids)):
         for c in qcells[qi]:

@@ -115,6 +115,27 @@ def test_range_and_sliding_window_have_teeth(ray_session):
     assert len(sw) > len(hourly)
 
 
+def test_ivf_cell_scaling_rule():
+    """VERDICT r3 #8 (second half): the IVF cell count derives from the
+    table (FAISS 4*sqrt(N) bounded by >=32 rows/cell), keeps the toy
+    floor at test tiers, and honors the env override; probe width tracks
+    the cell count so the probed fraction stays roughly constant."""
+    import os
+
+    from crawler_ray.ops.similarity import IVF_NPROBE, ivf_cells, ivf_nprobe
+
+    assert ivf_cells(500) == 16  # test tiers unchanged (cached keys stable)
+    assert ivf_cells(50_000) == min(int(4 * 50_000**0.5), 50_000 // 32)
+    assert ivf_cells(1_000_000_000) == int(4 * 1_000_000_000**0.5)
+    assert ivf_nprobe(16) == IVF_NPROBE
+    assert ivf_nprobe(4096) == 256
+    os.environ["CRAWLER_RAY_IVF_CLUSTERS"] = "99"
+    try:
+        assert ivf_cells(500) == 99
+    finally:
+        del os.environ["CRAWLER_RAY_IVF_CLUSTERS"]
+
+
 def test_ann_lsh_recall_vs_exact(ray_session):
     from crawler_ray.ops.similarity import RECALL_FLOOR
 
