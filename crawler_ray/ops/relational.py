@@ -784,6 +784,168 @@ def median_price_by_priority(sf_dir: str):
     return out
 
 
+def price_quantiles_by_priority(sf_dir: str, q_pcts=(25, 50, 75)):
+    """EXACT grouped MULTI-quantile (``quantile_disc`` at p25/p50/p75) —
+    the median operator's iterative histogram selection generalized to
+    one selector STATE per (group, quantile). Each refinement level is
+    still ONE streaming pass over orders serving every unresolved state
+    (states of the same group share the row scan), so the level count —
+    not the quantile count — drives the number of passes. Rank
+    convention matches DuckDB: element ceil(q*n), 1-indexed. Driver sees
+    only counters; the collect pass reads only resolved rank buckets."""
+    import math
+
+    from .common import bucketed_sum
+
+    N_BUCKETS = 4096
+    COLLECT_CAP = 100_000
+
+    def cents_ds():
+        ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def conv(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "g": df["o_orderpriority"],
+                    "v": _cents(df["o_totalprice"].reset_index(drop=True)).values,
+                }
+            )
+
+        return ds.map_batches(conv, batch_format="pandas")
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.groupby("g")["v"].agg(["count", "min", "max"]).reset_index()
+        return a.rename(columns={"count": "n", "min": "lo", "max": "hi"})
+
+    st = (
+        cents_ds()
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("g")
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    )
+    # one state per (group, quantile): rank k = ceil(q*n) within [lo, hi)
+    state: dict[tuple[str, int], dict] = {}
+    for g, r in st.iterrows():
+        for qp in q_pcts:
+            state[(g, qp)] = {
+                "k": int(-(-(qp * int(r["n"])) // 100)),
+                "lo": int(r["lo"]),
+                "hi": int(r["hi"]) + 1,
+            }
+
+    answers: dict[tuple[str, int], int] = {}
+    while True:
+        active = {
+            s_id: s
+            for s_id, s in state.items()
+            if s_id not in answers and s["hi"] - s["lo"] > 1
+        }
+        if not active:
+            break
+        ref = ray.put(
+            [
+                (g, qp, s["lo"], max(1.0, (s["hi"] - s["lo"]) / N_BUCKETS))
+                for (g, qp), s in active.items()
+            ]
+        )
+
+        def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+            states = ray.get(ref)
+            out = []
+            by_g = dict(tuple(df.groupby("g", observed=True)))
+            for si, (g, _qp, lo, w) in enumerate(states):
+                part = by_g.get(g)
+                if part is None:
+                    continue
+                v = part["v"].to_numpy()
+                v = v[(v >= lo) & (v < lo + w * N_BUCKETS)]
+                b = np.minimum(((v - lo) / w).astype(np.int64), N_BUCKETS - 1)
+                nz = np.bincount(b, minlength=N_BUCKETS)
+                idx = np.nonzero(nz)[0]
+                out.append(
+                    pd.DataFrame(
+                        {"s": np.int64(si), "b": idx, "cnt": nz[idx]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(
+                    {"s": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                     "cnt": pd.Series(dtype="int64")}
+                )
+            return pd.concat(out, ignore_index=True)
+
+        order_ids = list(active)
+        hist = bucketed_sum(
+            cents_ds().map_batches(hist_partial, batch_format="pandas"),
+            ["s", "b"],
+            ["cnt"],
+        ).to_pandas()
+        collect: dict[tuple[str, int], tuple[int, int]] = {}
+        for si, s_id in enumerate(order_ids):
+            s = active[s_id]
+            hg = hist[hist["s"] == si].sort_values("b")
+            cum = hg["cnt"].cumsum()
+            pos = int(np.searchsorted(cum.to_numpy(), s["k"]))
+            bucket = int(hg["b"].iloc[pos])
+            before = int(cum.iloc[pos - 1]) if pos > 0 else 0
+            in_bucket = int(hg["cnt"].iloc[pos])
+            lo, w = s["lo"], max(1.0, (s["hi"] - s["lo"]) / N_BUCKETS)
+            s["k"] -= before
+            # ceil, not floor (ADVICE r3 high — see median_price_by_priority)
+            s["lo"] = int(math.ceil(lo + bucket * w))
+            s["hi"] = min(int(lo + (bucket + 1) * w) + 1, s["hi"])
+            if s["hi"] - s["lo"] <= 1:
+                answers[s_id] = s["lo"]
+            elif in_bucket <= COLLECT_CAP:
+                collect[s_id] = (s["lo"], s["hi"])
+        if collect:
+            order = sorted(collect)
+            rref = ray.put([(g, *collect[(g, qp)]) for (g, qp) in order])
+
+            def pick(df: pd.DataFrame) -> pd.DataFrame:
+                rng = ray.get(rref)
+                gv = df["g"].to_numpy()
+                vv = df["v"].to_numpy()
+                gis, vs = [], []
+                for gi, (g, lo_, hi_) in enumerate(rng):
+                    m = (gv == g) & (vv >= lo_) & (vv < hi_)
+                    vs.append(vv[m])
+                    gis.append(np.full(int(m.sum()), gi, dtype=np.int64))
+                return pd.DataFrame(
+                    {"gi": np.concatenate(gis), "v": np.concatenate(vs)}
+                )
+
+            got = cents_ds().map_batches(pick, batch_format="pandas").to_pandas()
+            for gi, s_id in enumerate(order):
+                vals = got.loc[got["gi"] == gi, "v"].to_numpy()
+                k = state[s_id]["k"]
+                answers[s_id] = int(np.partition(vals, k - 1)[k - 1])
+
+    for s_id, s in state.items():
+        answers.setdefault(s_id, s["lo"])
+    rows = sorted((g, qp, v) for (g, qp), v in answers.items())
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "q_pct", "value_cents"])
+    out["q_pct"] = out["q_pct"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out
+
+
+PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority, 25 AS q_pct,
+       CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25) AS BIGINT) AS value_cents
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 50 AS q_pct,
+       CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.50) AS BIGINT) AS value_cents
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 75 AS q_pct,
+       CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.75) AS BIGINT) AS value_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def stratified_sample_customers(sf_dir: str):
     """Deterministic stratified sampling — the training-data subsampling
     primitive: per stratum (c_mktsegment) keep the 50 customers with the
@@ -857,6 +1019,7 @@ QUERIES = {
     "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_SQL),
     "order_repeats_30d": (order_repeats_30d, ORDER_REPEATS_SQL),
     "median_price_by_priority": (median_price_by_priority, MEDIAN_PRICE_SQL),
+    "price_quantiles_by_priority": (price_quantiles_by_priority, PRICE_QUANTILES_SQL),
     "stratified_sample_customers": (stratified_sample_customers, STRATIFIED_SAMPLE_SQL),
     "latest_order_per_customer": (latest_order_per_customer, LATEST_ORDER_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),

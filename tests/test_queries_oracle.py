@@ -732,6 +732,24 @@ def test_median_histogram_selection_adversarial(ray_session, tmp_path):
     assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
     assert list(got["median_cents"]) == list(want["median_cents"])
 
+    # the generalized multi-quantile selector must survive the same
+    # adversarial distributions at every quantile
+    from crawler_ray.ops.relational import price_quantiles_by_priority
+
+    gq = (
+        price_quantiles_by_priority(str(d))
+        .sort_values(["o_orderpriority", "q_pct"])
+        .reset_index(drop=True)
+    )
+    wq = (
+        con.execute(entrymod.oracle_sql()["price_quantiles_by_priority"])
+        .fetchdf()
+        .sort_values(["o_orderpriority", "q_pct"])
+        .reset_index(drop=True)
+    )
+    assert list(gq["value_cents"]) == list(wq["value_cents"])
+    assert list(gq["q_pct"]) == list(wq["q_pct"])
+
 
 def test_winnowing_fingerprints_vs_scalar_reference(ray_session):
     """Value oracle for the rows-only winnowing op: an independent scalar
