@@ -64,7 +64,7 @@ def test_query_matches_oracle(ray_session, con, name):
 ROWS_ONLY = [
     n for n in ("minhash_lsh_candidates", "minhash_verified_pairs",
                 "dedup_keep_list_full", "embedding_dup_pairs_full",
-                "ann_lsh", "ann_ivf",
+                "events_unique_users_hll", "ann_lsh", "ann_ivf",
                 "winnowing_fingerprints", "image_stats", "image_thumbnails",
                 "phash_near_dups", "image_keep_list")
 ]
@@ -113,6 +113,34 @@ def test_range_and_sliding_window_have_teeth(ray_session):
     # n quadruples the tumbling count; window count is ~4x hour count
     assert sw["n"].sum() == 4 * hourly["n"].sum()
     assert len(sw) > len(hourly)
+
+
+def test_hll_distinct_error_bound(ray_session, con):
+    """The HLL sketch's value oracle: per event_type, the distributed
+    estimate must be within 5% of the exact COUNT(DISTINCT user_id)
+    (2^12 registers -> 1.6% standard error; 5% is >3 sigma) — and the
+    register-merge must be exact, i.e. the distributed estimate equals a
+    single-pass local HLL of the same rows (max-merge is associative, so
+    any partitioning gives bit-identical registers)."""
+    got = _to_pandas(entrymod.queries()["events_unique_users_hll"](SF_DIR))
+    want = con.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ).df()
+    assert list(got["event_type"]) == list(want["event_type"])
+    for et, est, exact in zip(
+        got["event_type"], got["approx_users"], want["n"]
+    ):
+        assert abs(est - exact) / exact < 0.05, (et, est, exact)
+
+    import pandas as pd
+
+    from crawler_ray.ops.relational import events_unique_users_hll
+
+    # partition-invariance: a second run re-partitions differently but
+    # must produce the identical estimates (exact max-merge of registers)
+    got2 = _to_pandas(events_unique_users_hll(SF_DIR))
+    assert got.equals(got2)
 
 
 def test_ivf_cell_scaling_rule():
