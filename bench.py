@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "phash_near_dups",
     "image_keep_list",
     "dedup_keep_list_full",
+    "tfidf_top_terms",
+    "repetition_signals",
+    "price_quantiles_by_priority",
+    "events_unique_users_hll",
 ]
 
 
