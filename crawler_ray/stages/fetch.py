@@ -102,6 +102,12 @@ META_SCHEMA = pa.schema(
         ("p_seq", pa.int64()),
         ("link_idx", pa.int32()),
         ("op", pa.int8()),
+        # blake2b url hash, computed ONCE here in the (parallel) fetch
+        # task — the fetch already hashes every meta row for seen-shard
+        # routing, and shipping the value saves the combined actors from
+        # re-hashing the whole round's rows on the round-end critical
+        # path (round 4; ~0.4 s per shard per crawl in the profile)
+        ("uhash", pa.uint64()),
     ]
 )
 
@@ -339,9 +345,10 @@ def fetch_shard(
         docs_tables = [
             _docs_table(by_g.get(g, [])) for g in range(n_docs_groups)
         ]
+        hs = [url_hash(row[1]) for row in meta_rows]
         by_ss: dict[int, list[int]] = {}
-        for j, row in enumerate(meta_rows):
-            by_ss.setdefault(url_hash(row[1]) % n_seen_shards, []).append(j)
+        for j, h in enumerate(hs):
+            by_ss.setdefault(h % n_seen_shards, []).append(j)
         tables = []
         for m in range(n_seen_shards):
             idxs = by_ss.get(m)
@@ -349,7 +356,7 @@ def fetch_shard(
                 tables.append(META_SCHEMA.empty_table())
                 continue
             rows = [meta_rows[j] for j in idxs]
-            cols = list(zip(*rows))
+            cols = list(zip(*rows)) + [[hs[j] for j in idxs]]
             tables.append(
                 pa.table(
                     {
@@ -738,6 +745,35 @@ def combined_round(
     shard's seen-delta checkpoint file is written LAST so a committed
     round's delta reflects every mutation of the round.
     """
+    if os.environ.get("GRAFT_PROF_COMBINED") and state.shard_id == 0:
+        import cProfile
+        import pstats
+
+        pr = cProfile.Profile()
+        pr.enable()
+        try:
+            return _combined_round_body(
+                state, n_fetch_shards, run_dir, round_idx, next_frontier_dir,
+                metas,
+            )
+        finally:
+            pr.disable()
+            st_ = pstats.Stats(pr)
+            st_.sort_stats("cumulative")
+            st_.dump_stats(f"/tmp/comb_prof_round_{round_idx}.pstats")
+    return _combined_round_body(
+        state, n_fetch_shards, run_dir, round_idx, next_frontier_dir, metas
+    )
+
+
+def _combined_round_body(
+    state,
+    n_fetch_shards: int,
+    run_dir: str,
+    round_idx: int,
+    next_frontier_dir: str,
+    metas,
+) -> tuple:
     _t_task = time.time()
     ss = state.shard_id
     rdir = os.path.join(run_dir, f"round_{round_idx:05d}")
@@ -774,7 +810,12 @@ def combined_round(
         if len(mut_order):
             mut_t = t.take(pa.array(mut_order, pa.int64()))
             mu = mut_t["url"].to_pylist()
-            mh = np.array([url_hash(u) for u in mu], dtype=np.uint64)
+            mh = (
+                mut_t["uhash"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
             mo = mut_t["op"].to_pylist()
             # terminal mutations durable before candidate inserts
             state.apply_mutations(mu, mh, mo)
@@ -787,7 +828,10 @@ def combined_round(
             dup = pd.Series(cand_urls[cand_order]).duplicated().to_numpy()
             keep_order = cand_order[~dup]
             uniq = [cand_urls[i] for i in keep_order]
-            hashes = np.array([url_hash(u) for u in uniq], dtype=np.uint64)
+            all_h = (
+                t["uhash"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            hashes = all_h[keep_order].astype(np.uint64)
             ok = np.asarray(state.check_and_insert(uniq, hashes), dtype=bool)
             keep = keep_order[ok]
             n_new = len(keep)

@@ -86,10 +86,41 @@ class CuckooFilter:
         return ((idx.astype(np.uint64) ^ h) % np.uint64(self.n_buckets)).astype(np.int64)
 
     def add_many(self, keys: np.ndarray) -> None:
+        """Batch insert, vectorized on the fast path (round 4: the per-key
+        ``_add_one`` loop was the single hottest function on the crawl's
+        round-end critical path — 56 % of combined-actor CPU in a cProfile
+        of the 1M-page bench). Strategy: try bucket 1 then bucket 2, slot
+        by slot, placing every pending key whose target slot is free;
+        same-bucket conflicts within the batch resolve first-wins and the
+        losers retry at the next slot. Only keys whose BOTH buckets are
+        full (rare until high load factor) fall back to the sequential
+        displacement loop. The resulting table layout can differ from
+        sequential insertion order, which is semantically irrelevant: the
+        filter is a one-sided accelerator and every positive is confirmed
+        against the shard's exact dict."""
+        if keys.size == 0:
+            return
         fps = self._fingerprint(keys)
         i1s = self._index1(keys)
-        for fp, i1 in zip(fps, i1s):
-            self._add_one(int(i1), fp)
+        i2s = self._alt_index(i1s, fps)
+        pending = np.arange(len(keys), dtype=np.int64)
+        for target in (i1s, i2s):
+            for s in range(_BUCKET_SLOTS):
+                if not len(pending):
+                    return
+                t = target[pending]
+                free = self.table[t, s] == 0
+                if not free.any():
+                    continue
+                cand = pending[free]
+                tc = t[free]
+                uniq, first = np.unique(tc, return_index=True)
+                self.table[uniq, s] = fps[cand[first]]
+                placed = np.zeros(len(cand), dtype=bool)
+                placed[first] = True
+                pending = np.concatenate([pending[~free], cand[~placed]])
+        for j in pending:  # both buckets full: displacement path
+            self._add_one(int(i1s[j]), fps[j])
 
     def _add_one(self, i1: int, fp: np.uint16) -> None:
         i2 = int(self._alt_index(np.array([i1]), np.array([fp]))[0])
