@@ -44,6 +44,32 @@ def test_cuckoo_membership_and_delete():
     assert cf.contains_many(keys[100:]).all()
 
 
+def test_cuckoo_batch_insert_conflicts_and_duplicates():
+    """The vectorized add_many (round 4) resolves same-bucket conflicts
+    within a batch first-wins with losers retrying the next slot; keys
+    whose both buckets fill fall back to displacement. No false negatives
+    under any of it: duplicate keys in one batch, many batches landing in
+    the same buckets, incremental single adds interleaved with batches,
+    and near-capacity load must all keep every added key a member."""
+    import numpy as np
+
+    cf = CuckooFilter(10_000)
+    keys = _keys(6_000, seed=7)
+    dup_batch = np.concatenate([keys[:500], keys[:500], keys[:500]])
+    cf.add_many(dup_batch)  # duplicates in one batch
+    for i in range(500, 1000):  # singleton batches (old sequential shape)
+        cf.add_many(keys[i : i + 1])
+    cf.add_many(keys[1000:])  # one big batch with conflicts
+    assert not cf.degraded
+    assert cf.contains_many(keys).all()
+    # near-capacity: displacement fallback engages without losing keys
+    cf2 = CuckooFilter(2_000)
+    k2 = _keys(1_900, seed=8)
+    cf2.add_many(k2)
+    if not cf2.degraded:
+        assert cf2.contains_many(k2).all()
+
+
 def test_cuckoo_degrades_not_corrupts():
     cf = CuckooFilter(256)
     keys = _keys(2_000, seed=5)
