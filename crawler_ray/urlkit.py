@@ -152,8 +152,16 @@ def canonicalise(url: str, discard_fragments: bool = True) -> str | None:
             url2 = url
         if url2.startswith("http://") and url2.find(":80/", a + 3, end + 4 if end != -1 else len(url2) + 1) != -1:
             url2 = url2.replace(":80/", "/", 1)
-        while "/./" in url2:
-            url2 = url2.replace("/./", "/")
+            if end != -1:
+                end -= 3  # authority shrank by ':80'
+        # collapse ``/./`` in the PATH only — never across the authority.
+        # (regression: ``http://./0`` must keep its dot host; collapsing the
+        # whole string ate the ``.`` and produced ``http://0``)
+        if end != -1 and end < len(url2) and url2[end] == "/":
+            head, tail = url2[:end], url2[end:]
+            while "/./" in tail:
+                tail = tail.replace("/./", "/")
+            url2 = head + tail
         if _ALREADY_CANONICAL.match(url2):
             return url2
     if not url or not _SCHEME_RE.match(url):

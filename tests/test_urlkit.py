@@ -133,6 +133,11 @@ def test_canonical_fast_path_equals_full_path():
         # must stop at '?' — hypothesis-found regression (round 3)
         "http://A?A", "http://H.test?Q=V", "http://H.test:80?Q",
         "HTTP://h.test?q", "http://h.test?",
+        # dot hosts: the /./ collapse must never cross the authority —
+        # hypothesis-found regression (round 4, VERDICT r4 #1)
+        "http://./0", "http://../a", "http://./", "http://.",
+        "http://./././x", "HTTP://./0", "http://h.test:80/./x",
+        "http://.:80/./x", "http://./?q=/./",
     ]
     never = re.compile(r"(?!x)x")  # matches nothing
     orig = urlkit._ALREADY_CANONICAL
