@@ -122,6 +122,10 @@ def subtract_ids(
       holds either side."""
     import ray
 
+    # materialize once: count + collection (broadcast path) or the tagged
+    # union (anti-join path) otherwise each re-execute the drop-side
+    # lineage from scratch (ADVICE r4)
+    drop_ds = drop_ds.materialize()
     if drop_ds.count() <= broadcast_cap:
         drop = set(drop_ds.to_pandas()[id_col].tolist())
         ref = ray.put(drop)

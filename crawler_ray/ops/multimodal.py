@@ -227,8 +227,8 @@ PHASH_HAMMING_T = 6
 N_PHASH_BANDS = 8  # 8 bands x 8 bits: <=6 flips leave >=2 bands untouched
 
 
-def phash_near_dups(sf_dir: str):
-    """EXACT whole-corpus image near-duplicate pairs:
+def phash_pairs_ds(sf_dir: str) -> rd.Dataset:
+    """EXACT whole-corpus image near-duplicate pairs as a DATASET:
     hamming(phash_a, phash_b) <= PHASH_HAMMING_T over the corpus'
     perceptual-hash column, WITHOUT an all-pairs pass. Pigeonhole banding
     (8 bands of 8 bits: a pair within Hamming 6 shares at least one exact
@@ -241,7 +241,8 @@ def phash_near_dups(sf_dir: str):
     the shared make_hamming_bucket_fn (ops/dedup.py), which collapses
     identical hashes before the O(k^2) pass — the corpus PLANTS exact
     image copies, whose clique would otherwise blow up the triu allocation
-    (ADVICE r3)."""
+    (ADVICE r3). The pair set never touches the driver (VERDICT r4 #3):
+    downstream compositions consume this Dataset directly."""
     from .common import bucketed_group_apply
     from .dedup import expand_hash_bands, make_hamming_bucket_fn
 
@@ -259,13 +260,20 @@ def phash_near_dups(sf_dir: str):
             pid, df["phash"].to_numpy(), N_PHASH_BANDS, 8
         )
 
-    pairs = bucketed_group_apply(
+    return bucketed_group_apply(
         ds.map_batches(expand, batch_format="pandas"),
         ["band", "band_val"],
         make_hamming_bucket_fn(N_PHASH_BANDS, 8, PHASH_HAMMING_T),
     )
+
+
+def phash_near_dups(sf_dir: str):
+    """Query deliverable: the phash_pairs_ds pair set, sorted. The sorted
+    pandas return is the DRIVER-RECORD format only — scale consumers
+    (image_keep_list) use the Dataset path."""
     return (
-        pairs.to_pandas()
+        phash_pairs_ds(sf_dir)
+        .to_pandas()
         .sort_values(["a", "b"])
         .reset_index(drop=True)
         .astype("int64")
@@ -280,35 +288,45 @@ def image_keep_list(sf_dir: str, broadcast_cap: int = 500_000):
     the keep side); the drop set applies via subtract_ids, which
     broadcasts while small and switches to a bucketed anti-join above
     ``broadcast_cap`` (the high-dup-rate web-corpus case). Components via
-    the shared hash_min_components BSP loop (same code path as the
-    text-side clusters)."""
-    from .common import subtract_ids
+    the shared hash_min_components BSP loop, with the edge set and the
+    seed labels built as Datasets exactly like dedup_keep_list_full
+    (VERDICT r4 #3 — no pair/edge bytes through the driver)."""
+    from .common import bucketed_group_apply, subtract_ids
     from .dedup import hash_min_components
 
-    pairs = phash_near_dups(sf_dir)
-    ds = rd.read_parquet(corpus_for_sf(sf_dir), columns=["image_id"])
-    keep_ds = ds.map_batches(
+    keep_ds = rd.read_parquet(
+        corpus_for_sf(sf_dir), columns=["image_id"]
+    ).map_batches(
         lambda df: pd.DataFrame(
             {"page_id": df["image_id"].str[3:].astype("int64")}
         ),
         batch_format="pandas",
     )
-    if not len(pairs):
-        return keep_ds
-    edges = rd.from_pandas(
-        pd.DataFrame(
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "node": pd.concat([pairs["a"], pairs["b"]], ignore_index=True),
-                "peer": pd.concat([pairs["b"], pairs["a"]], ignore_index=True),
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
             }
         ).astype("int64")
+
+    # materialize once: the BSP loop re-consumes the edges every iteration
+    edges = (
+        phash_pairs_ds(sf_dir)
+        .map_batches(sym, batch_format="pandas")
+        .materialize()
     )
-    nodes = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-    labels = rd.from_pandas(
-        pd.DataFrame({"node": nodes, "lbl": nodes}).astype("int64")
-    )
-    comp = hash_min_components(edges, labels)
-    drop_ds = comp.map_batches(
+    if edges.count() == 0:
+        return keep_ds
+
+    def seed_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["node"].drop_duplicates()
+        return pd.DataFrame({"node": u, "lbl": u}).astype("int64")
+
+    seeds = bucketed_group_apply(edges, ["node"], seed_nodes)
+    labels = hash_min_components(edges, seeds)
+    drop_ds = labels.map_batches(
         lambda df: df.loc[df["node"] != df["lbl"], ["node"]]
         .rename(columns={"node": "page_id"})
         .astype("int64"),

@@ -127,8 +127,14 @@ def q3_top_orders(sf_dir: str):
     """
     from .common import bucketed_group_apply
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = ray.put(set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]))
+    # broadcast build: segment filter + custkey projection run INSIDE
+    # map_batches, so only the BUILDING keys (one int column, ~1/5 of the
+    # dim table) ever reach the driver (VERDICT r4 #5)
+    bkeys = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas",
+    )
+    building = ray.put(set(bkeys.to_pandas()["c_custkey"]))
 
     def order_keys(df: pd.DataFrame) -> pd.DataFrame:
         keep = ray.get(building)

@@ -256,7 +256,9 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
         g.columns = ["doc_id", "token", "tf"]
         return g.astype({"doc_id": "int64", "tf": "int64"})
 
-    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    # materialize: both union branches below consume tf — without pinning,
+    # the tokenize+groupby stage executes twice per run (ADVICE r4)
+    tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
 
     # document frequency: tf rows are distinct per (doc, token), so df is
     # a per-token row count — partial counts per batch, bucketed exact sum
