@@ -291,7 +291,7 @@ def image_keep_list(sf_dir: str, broadcast_cap: int = 500_000):
     the shared hash_min_components BSP loop, with the edge set and the
     seed labels built as Datasets exactly like dedup_keep_list_full
     (VERDICT r4 #3 — no pair/edge bytes through the driver)."""
-    from .common import bucketed_group_apply, subtract_ids
+    from .common import subtract_ids
     from .dedup import hash_min_components
 
     keep_ds = rd.read_parquet(
@@ -320,12 +320,9 @@ def image_keep_list(sf_dir: str, broadcast_cap: int = 500_000):
     if edges.count() == 0:
         return keep_ds
 
-    def seed_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["node"].drop_duplicates()
-        return pd.DataFrame({"node": u, "lbl": u}).astype("int64")
-
-    seeds = bucketed_group_apply(edges, ["node"], seed_nodes)
-    labels = hash_min_components(edges, seeds)
+    # self-seeded components (r5): dropped pages by definition have edges,
+    # so edge-only seeding is complete here
+    labels = hash_min_components(edges)
     drop_ds = labels.map_batches(
         lambda df: df.loc[df["node"] != df["lbl"], ["node"]]
         .rename(columns={"node": "page_id"})

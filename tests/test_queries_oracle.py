@@ -952,3 +952,43 @@ def test_gram_codes_exactly_match_char_grams():
         assert np.intersect1d(c1, c2, assume_unique=True).size == len(g1 & g2)
 
     check()
+
+
+def test_hash_min_components_self_seed_matches_explicit(ray_session):
+    """labels=None (r5 self-seed from the symmetric edge set) must produce
+    the same labels as explicit lbl(node)=node seeds for every node that
+    has an edge — on a graph with multiple components, chains, and a
+    clique."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_ray.ops.dedup import hash_min_components
+
+    rng = np.random.RandomState(7)
+    # three structures: a 40-chain, a 15-clique, 30 random pairs
+    chain = [(i, i + 1) for i in range(100, 140)]
+    clique = [(200 + i, 200 + j) for i in range(15) for j in range(i + 1, 15)]
+    pairs = [(int(a), int(b)) for a, b in rng.randint(300, 400, size=(30, 2)) if a != b]
+    raw = chain + clique + pairs
+    e = pd.DataFrame(
+        {
+            "node": [a for a, b in raw] + [b for a, b in raw],
+            "peer": [b for a, b in raw] + [a for a, b in raw],
+        }
+    ).astype("int64")
+    nodes = np.unique(e["node"])
+    seeds = pd.DataFrame({"node": nodes, "lbl": nodes}).astype("int64")
+
+    explicit = (
+        hash_min_components(rd.from_pandas(e), rd.from_pandas(seeds))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    self_seeded = (
+        hash_min_components(rd.from_pandas(e))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(explicit, self_seeded)
