@@ -409,6 +409,14 @@ def run_multinode() -> dict:
 
 
 if __name__ == "__main__":
+    unknown = [a for a in sys.argv[1:] if a not in ("--multinode", "--scaling")]
+    if unknown:
+        # an unrecognized flag (e.g. --help) must not silently launch a
+        # multi-minute full bench
+        print(
+            json.dumps({"error": f"unknown args {unknown}; use --scaling or --multinode or no args"})
+        )
+        sys.exit(2)
     if "--multinode" in sys.argv:
         print(json.dumps(run_multinode()))
     elif "--scaling" in sys.argv:

@@ -177,3 +177,47 @@ def test_canonical_fast_path_fuzz():
         check()
     finally:
         urlkit._ALREADY_CANONICAL = orig
+
+
+def test_derelativise_root_relative_fast_path_fuzz():
+    """The root-relative concat shortcut (RFC 3986 §5.3 merge for refs
+    starting with a single '/') must agree with the general urljoin path —
+    the same fast-vs-full fixpoint discipline that caught the r4
+    canonicalise bug."""
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_ray.urlkit import canonicalise, derelativise
+
+    bases = st.sampled_from(
+        [
+            "http://h.test/a/b", "http://h.test", "http://h.test/",
+            "https://x.y.test:8080/deep/path?q=1", "http://h.test/a/b/c/",
+            "HTTP://UP.test:80/A", "http://h.test/p?q=v",
+        ]
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(bases, st.text(alphabet="abzAZ019:/.%#?&=~_- \t", max_size=32))
+    def check(base, tail):
+        raw = "/" + tail.lstrip("/")  # single leading slash (fast path)
+        if raw.startswith("//"):
+            return
+        got = derelativise(base, raw)
+        # ground truth: sanitize like derelativise (strip, drop fragment,
+        # encode spaces), then general urljoin
+        s = raw.strip()
+        h = s.find("#")
+        if h != -1:
+            s = s[:h]
+        s = s.replace(" ", "%20")
+        cbase = canonicalise(base)
+        joined = canonicalise(urljoin(cbase, s))
+        if joined is None:
+            assert got[0] == "error", (base, raw, got)
+        else:
+            assert got == ("url", joined), (base, raw, got, joined)
+
+    check()
