@@ -160,8 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     for name in _SACRIFICIAL_TAIL:
-        if name in out:
-            out[name] = out.pop(name)
+        # fail loudly if a tail entry is renamed/removed — a silent no-op
+        # here would let a high-signal query fall past the record cap
+        assert name in out, f"_SACRIFICIAL_TAIL entry {name!r} not in queries()"
+        out[name] = out.pop(name)
     return out
 
 

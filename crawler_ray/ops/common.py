@@ -101,6 +101,36 @@ def bucketed_sum(ds, key_cols: list[str], sum_cols: list[str], n_buckets: int | 
     return bucketed_group_apply(ds, key_cols, per_bucket, n_buckets)
 
 
+def symmetric_edges(pairs_ds):
+    """(a, b) pair Dataset -> symmetric (node, peer) edge Dataset — the
+    input shape hash_min_components expects. Shared by the text and image
+    keep-list compositions (code review r5: was three verbatim copies)."""
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        ).astype("int64")
+
+    return pairs_ds.map_batches(sym, batch_format="pandas")
+
+
+def component_losers(labels_ds, id_col: str):
+    """Component labels (node, lbl) -> Dataset of the NON-minimum members
+    (the drop side of a keep-list), renamed to ``id_col``."""
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.loc[df["node"] != df["lbl"], ["node"]]
+            .rename(columns={"node": id_col})
+            .astype("int64")
+        )
+
+    return labels_ds.map_batches(losers, batch_format="pandas")
+
+
 def subtract_ids(
     keep_ds,
     drop_ds,

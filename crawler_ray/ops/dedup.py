@@ -86,9 +86,12 @@ def _gram_codes(text: str) -> np.ndarray:
     so the encoding is injective — no hash collisions, identical Jaccard
     counts to the string-set path by construction (property-tested in
     tests/test_queries_oracle.py::test_gram_codes_exactly_match_char_grams)."""
-    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
-        np.uint64
-    )
+    # surrogatepass: lone surrogates (possible via surrogateescape-decoded
+    # inputs) encode as their code points instead of raising — keeps this a
+    # total drop-in for _char_grams on ANY str (code review r5)
+    codes = np.frombuffer(
+        text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.uint64)
     if codes.size < 3:
         return np.empty(0, dtype=np.uint64)
     g = (codes[:-2] << np.uint64(42)) | (codes[1:-1] << np.uint64(21)) | codes[2:]
@@ -839,19 +842,12 @@ def dedup_clusters(sf_dir: str):
     count.
     """
 
+    from .common import symmetric_edges
+
     pairs = ngram_jaccard_pairs(sf_dir).map_batches(
         lambda df: df[["a", "b"]], batch_format="pandas"
     )
-    # symmetric edge list, keyed by source
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
-            }
-        ).astype("int64")
-
-    edges = pairs.map_batches(sym, batch_format="pandas")
+    edges = symmetric_edges(pairs)
 
     def seed(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["doc_id"] < JACCARD_SLICE]
@@ -1107,7 +1103,12 @@ def minhash_verified_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
             gb = grams.get(int(b))
             if gb is None:
                 gb = grams[int(b)] = _gram_codes(text_b[b])
-            inter = np.intersect1d(ga, gb, assume_unique=True).size
+            # membership count on the pre-sorted arrays: O(m log n), no
+            # re-sort/allocation like np.intersect1d (code review r5)
+            big, small = (ga, gb) if ga.size >= gb.size else (gb, ga)
+            idx = np.searchsorted(big, small)
+            mask = idx < big.size
+            inter = int(np.count_nonzero(big[idx[mask]] == small[mask]))
             union = ga.size + gb.size - inter
             jac_e6 = int(np.floor(1_000_000.0 * inter / union)) if union else 0
             if jac_e6 >= JACCARD_T:
@@ -1147,22 +1148,12 @@ def dedup_keep_list_full(sf_dir: str, broadcast_cap: int = 500_000):
     Returns a Dataset(doc_id). Rows-only driver oracle; the value oracle
     (DuckDB recursive CTE over the Ray-verified edge set) and the
     slice-agreement check live in tests/test_queries_oracle.py."""
-    from .common import subtract_ids
-
-    verified = minhash_verified_pairs(sf_dir)
-
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
-            }
-        ).astype("int64")
+    from .common import subtract_ids, symmetric_edges
 
     # materialize: the BSP component loop consumes the edge set once per
     # iteration — without pinning, every iteration would re-run LSH +
     # verification from the raw corpus
-    edges = verified.map_batches(sym, batch_format="pandas").materialize()
+    edges = symmetric_edges(minhash_verified_pairs(sf_dir)).materialize()
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1187,13 +1178,9 @@ def dedup_keep_list_full(sf_dir: str, broadcast_cap: int = 500_000):
 
     # self-seeded: losers by definition have edges, so edge-only seeding
     # is complete here (isolated keepers never appear in labels)
-    labels = hash_min_components(edges)
-    losers = labels.map_batches(
-        lambda df: df.loc[df["node"] != df["lbl"], ["node"]]
-        .rename(columns={"node": "doc_id"})
-        .astype("int64"),
-        batch_format="pandas",
-    )
+    from .common import component_losers
+
+    losers = component_losers(hash_min_components(edges), "doc_id")
     return subtract_ids(keepers, losers, "doc_id", broadcast_cap=broadcast_cap)
 
 

@@ -291,7 +291,7 @@ def image_keep_list(sf_dir: str, broadcast_cap: int = 500_000):
     the shared hash_min_components BSP loop, with the edge set and the
     seed labels built as Datasets exactly like dedup_keep_list_full
     (VERDICT r4 #3 — no pair/edge bytes through the driver)."""
-    from .common import subtract_ids
+    from .common import component_losers, subtract_ids, symmetric_edges
     from .dedup import hash_min_components
 
     keep_ds = rd.read_parquet(
@@ -303,32 +303,14 @@ def image_keep_list(sf_dir: str, broadcast_cap: int = 500_000):
         batch_format="pandas",
     )
 
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
-            }
-        ).astype("int64")
-
     # materialize once: the BSP loop re-consumes the edges every iteration
-    edges = (
-        phash_pairs_ds(sf_dir)
-        .map_batches(sym, batch_format="pandas")
-        .materialize()
-    )
+    edges = symmetric_edges(phash_pairs_ds(sf_dir)).materialize()
     if edges.count() == 0:
         return keep_ds
 
     # self-seeded components (r5): dropped pages by definition have edges,
     # so edge-only seeding is complete here
-    labels = hash_min_components(edges)
-    drop_ds = labels.map_batches(
-        lambda df: df.loc[df["node"] != df["lbl"], ["node"]]
-        .rename(columns={"node": "page_id"})
-        .astype("int64"),
-        batch_format="pandas",
-    )
+    drop_ds = component_losers(hash_min_components(edges), "page_id")
     return subtract_ids(keep_ds, drop_ds, "page_id", broadcast_cap=broadcast_cap)
 
 

@@ -943,7 +943,9 @@ def test_gram_codes_exactly_match_char_grams():
     @settings(max_examples=300, deadline=None)
     @given(
         st.text(max_size=64),
-        st.text(alphabet="abcde \U0001f600é", max_size=64),
+        # include lone surrogates (surrogateescape-decoded inputs): the
+        # encoding uses surrogatepass so these must not crash (r5 review)
+        st.text(alphabet="abcde \U0001f600é" + "𐏿", max_size=64),
     )
     def check(t1, t2):
         g1, g2 = _char_grams(t1), _char_grams(t2)
@@ -952,6 +954,10 @@ def test_gram_codes_exactly_match_char_grams():
         assert np.intersect1d(c1, c2, assume_unique=True).size == len(g1 & g2)
 
     check()
+    # lone surrogate (surrogateescape-decoded input) must not crash and
+    # must count identically (r5 review: encoding uses surrogatepass)
+    t = "ab\ud800cd\ud800ab"
+    assert _gram_codes(t).size == len(_char_grams(t))
 
 
 def test_hash_min_components_self_seed_matches_explicit(ray_session):
