@@ -194,6 +194,14 @@ def derelativise(on_url: str, raw: str) -> tuple[str, str]:
     relative -> RFC 3986 join with base then normalize.
     """
     raw = raw.strip()
+    # urlsplit silently removes tab/CR/LF anywhere in a URL (WHATWG rule),
+    # so strip them here too — otherwise branch SELECTION (scheme match,
+    # root-relative check) sees a different string than the parser does
+    # (fuzz-found r5: '/\t/' chose the root-relative fast path but parses
+    # as a protocol-relative '//')
+    for c in "\t\r\n":
+        if c in raw:
+            raw = raw.replace(c, "")
     # dropFragments (Urls.hs:87-88)
     h = raw.find("#")
     if h != -1:

@@ -206,9 +206,12 @@ def test_derelativise_root_relative_fast_path_fuzz():
         if raw.startswith("//"):
             return
         got = derelativise(base, raw)
-        # ground truth: sanitize like derelativise (strip, drop fragment,
-        # encode spaces), then general urljoin
+        # ground truth: sanitize like derelativise (strip, remove
+        # tab/CR/LF like urlsplit does, drop fragment, encode spaces),
+        # then general urljoin
         s = raw.strip()
+        for ch in "\t\r\n":
+            s = s.replace(ch, "")
         h = s.find("#")
         if h != -1:
             s = s[:h]
