@@ -1248,8 +1248,144 @@ WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
 """
 
 
+# --- exact substring (span) dedup --------------------------------------
+SPAN_K = 40  # duplicated-window length in characters (code points)
+# two independent 64-bit wraparound polynomial bases: the dup criterion is
+# equality of the (h1, h2) pair, a 128-bit identity — collision probability
+# over W windows is ~W^2/2^129 (1e12 windows -> ~1e-15), so hash-bucket
+# membership stands in for exact gram equality without shipping gram text
+# (k x corpus-size inflation) through the shuffle
+_SPAN_B1 = np.uint64(1_000_003)
+_SPAN_B2 = np.uint64(10_000_019)
+
+
+def _span_window_hashes(cp: np.ndarray, powers: np.ndarray) -> np.ndarray:
+    """All SPAN_K-length window hashes of one code-point array (uint64
+    wraparound polynomial), vectorized via sliding_window_view."""
+    win = np.lib.stride_tricks.sliding_window_view(cp, SPAN_K)
+    return (win * powers).sum(axis=1, dtype=np.uint64)
+
+
+def _substring_dup_spans_ds(docs):
+    """Core of substring_dup_spans over any (doc_id, text) Dataset."""
+    p1 = _SPAN_B1 ** np.arange(SPAN_K - 1, -1, -1, dtype=np.uint64)
+    p2 = _SPAN_B2 ** np.arange(SPAN_K - 1, -1, -1, dtype=np.uint64)
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, h1s, h2s = [], [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            # code points (== SQL substr / Python len character semantics)
+            cp = np.frombuffer(
+                text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            ).astype(np.uint64)
+            if len(cp) < SPAN_K:
+                continue
+            n = len(cp) - SPAN_K + 1
+            ids.append(np.full(n, did, dtype=np.int64))
+            poss.append(np.arange(n, dtype=np.int64))
+            h1s.append(_span_window_hashes(cp, p1).view(np.int64))
+            h2s.append(_span_window_hashes(cp, p2).view(np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int64"),
+                    "h1": pd.Series(dtype="int64"),
+                    "h2": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(poss),
+                "h1": np.concatenate(h1s),
+                "h2": np.concatenate(h2s),
+            }
+        )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[g.duplicated(["h1", "h2"], keep=False), ["doc_id", "pos"]]
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "span_start": pd.Series(dtype="int64"),
+                    "span_end": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["doc_id", "pos"])
+        did = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        # same span while windows overlap or touch: next_pos - pos <= K
+        new[1:] = (did[1:] != did[:-1]) | (pos[1:] - pos[:-1] > SPAN_K)
+        starts = np.flatnonzero(new)
+        ends_idx = np.concatenate([starts[1:] - 1, [len(g) - 1]])
+        return pd.DataFrame(
+            {
+                "doc_id": did[starts],
+                "span_start": pos[starts],
+                "span_end": pos[ends_idx] + SPAN_K,
+            }
+        )
+
+    win = docs.map_batches(windows, batch_format="pandas")
+    dup = bucketed_group_apply(win, ["h1", "h2"], dup_positions)
+    return bucketed_group_apply(dup, ["doc_id"], merge_spans)
+
+
+def substring_dup_spans(sf_dir: str):
+    """Exact substring dedup (the 'Deduplicating Training Data Makes
+    Language Models Better' ExactSubstr operator, Lee et al. 2021,
+    arXiv:2107.06499): find every maximal character span of a document
+    whose every SPAN_K-length window also occurs elsewhere in the corpus
+    (another document, or another position of the same document). Output
+    one row per maximal span: (doc_id, span_start, span_end), 0-based,
+    end-exclusive — the spans a trainer would cut before tokenization.
+
+    Shape at 100 TB: windowing + rolling hashes are per-batch numpy
+    (sliding_window_view over code points — no per-character Python); the
+    only shuffles are (1) a bucketed groupby on the 128-bit window
+    identity (h1, h2) that emits the >=2-occurrence positions and (2) a
+    bucketed per-doc span merge (sort + vectorized island detection).
+    Window text never ships — the paper's suffix-array formulation needs
+    a global sort of the whole corpus; the windowed-hash formulation is
+    embarrassingly bucketed (same output for spans >= SPAN_K, which is
+    the published operating point)."""
+    return _substring_dup_spans_ds(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SUBSTRING_DUP_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, pos, substr(text, CAST(pos AS INT), {SPAN_K}) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SPAN_K - 1})) AS pos
+        FROM documents)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+dupg AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              <= {SPAN_K}
+         THEN 0 ELSE 1 END AS brk
+  FROM dupg),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM isl)
+SELECT doc_id, CAST(min(pos) - 1 AS BIGINT) AS span_start,
+       CAST(max(pos) - 1 + {SPAN_K} AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, gid
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "substring_dup_spans": (substring_dup_spans, SUBSTRING_DUP_SQL),
     "dedup_keep_list": (dedup_keep_list, DEDUP_KEEP_SQL),
     "minhash_verified_pairs": (minhash_verified_pairs, None),
     "dedup_keep_list_full": (dedup_keep_list_full, None),

@@ -998,3 +998,78 @@ def test_hash_min_components_self_seed_matches_explicit(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(explicit, self_seeded)
+
+
+def test_substring_dup_spans_vs_scalar_reference(ray_session):
+    """Hand-crafted corpus exercising what the synthetic data doesn't
+    (its planted dups are whole-doc, so every oracle span starts at 0):
+    cross-doc partial overlap, a within-doc repeat, a too-short doc, and
+    span-merge adjacency. Verified against a pure-Python set reference."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_ray.ops.dedup import SPAN_K, _substring_dup_spans_ds
+
+    rng = np.random.RandomState(11)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def uniq(n):  # random text; accidental 40-gram dup odds ~ 26^-40
+        return "".join(rng.choice(letters, n))
+
+    shared = uniq(60)
+    rep = uniq(45)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                uniq(200) + shared + uniq(50),          # shared at [200,260)
+                uniq(100) + shared + uniq(80),          # shared at [100,160)
+                uniq(50) + rep + uniq(30) + rep + uniq(20),  # within-doc
+                uniq(SPAN_K - 1),                       # too short: no rows
+            ],
+        }
+    )
+
+    # scalar reference: count every k-gram, mark >=2 positions, merge
+    from collections import Counter
+
+    counts = Counter()
+    for t in docs["text"]:
+        for i in range(len(t) - SPAN_K + 1):
+            counts[t[i : i + SPAN_K]] += 1
+    expected = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        dup_pos = [
+            i
+            for i in range(len(t) - SPAN_K + 1)
+            if counts[t[i : i + SPAN_K]] >= 2
+        ]
+        start = prev = None
+        for p in dup_pos:
+            if start is None:
+                start = prev = p
+            elif p - prev <= SPAN_K:
+                prev = p
+            else:
+                expected.append((did, start, prev + SPAN_K))
+                start = prev = p
+        if start is not None:
+            expected.append((did, start, prev + SPAN_K))
+
+    got = (
+        _substring_dup_spans_ds(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(expected, columns=["doc_id", "span_start", "span_end"])
+        .astype("int64")
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    # sanity on the fixture itself: spans where planted, none for doc 3
+    assert (0, 200, 260) in expected and (1, 100, 160) in expected
+    assert (2, 50, 95) in expected and (2, 125, 170) in expected
+    assert not any(d == 3 for d, _, _ in expected)
+    pd.testing.assert_frame_equal(got, exp)
