@@ -548,8 +548,105 @@ GROUP BY label, dim
 """
 
 
+# --- distributed covariance / PCA --------------------------------------
+def embedding_covariance(sf_dir: str):
+    """Exact second-moment statistics of the embedding matrix in long
+    form: one row per (i, j) upper-triangle dim pair with integer-scaled
+    partial sums (sxy, sx, sy, n) over round(v*1e6) values — the same
+    half-away-from-zero int64 scaling as label_centroids, so Ray-vs-SQL
+    equality is exact (float accumulation order never shows). The caller
+    derives cov[i,j] = (sxy/n - (sx/n)(sy/n)) / 1e12; pca_eigen below
+    does, then eigendecomposes the d x d matrix on the driver.
+
+    Shape at 100 TB: THE distributed-PCA sketch — each batch contributes
+    one d(d+1)/2-row Gram partial (a single int64 matmul over the batch),
+    a tiny bucketed sum merges them, and the driver only ever sees d x d
+    numbers. No row vector leaves its batch. Int64 exactness holds while
+    n * (1e6*|v|)^2 < 2^63 — ~27M unit-norm rows; the loud assert below
+    marks where a float64-sum variant would take over."""
+    from .common import bucketed_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e6
+        scaled = (np.floor(np.abs(mat) + 0.5) * np.sign(mat)).astype(np.int64)
+        assert np.abs(scaled).max(initial=0) < (1 << 21), (
+            "int64-exact covariance assumes |v| < ~2 (unit-norm-ish "
+            "embeddings); use a float64-sum variant beyond that"
+        )
+        g = scaled.T @ scaled
+        s = scaled.sum(axis=0)
+        iu = np.triu_indices(scaled.shape[1])
+        return pd.DataFrame(
+            {
+                "i": iu[0].astype(np.int64),
+                "j": iu[1].astype(np.int64),
+                "sxy": g[iu],
+                "sx": s[iu[0]],
+                "sy": s[iu[1]],
+                "n": np.full(len(iu[0]), len(scaled), dtype=np.int64),
+            }
+        )
+
+    out = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["i", "j"],
+        ["sxy", "sx", "sy", "n"],
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype("int64")
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def pca_eigen(sf_dir: str, k: int = 8):
+    """Top-k PCA of the embedding table from the distributed covariance
+    sketch: fold the long-form stats into the d x d population covariance
+    (driver-side, d^2 numbers), then np.linalg.eigh. Returns
+    (eigenvalues desc [k], components [k, d]) with the sign convention
+    that each component's largest-|coord| entry is positive."""
+    stats = embedding_covariance(sf_dir).to_pandas()
+    d = int(stats["j"].max()) + 1
+    n = float(stats["n"].iloc[0])
+    cov = np.zeros((d, d))
+    i = stats["i"].to_numpy()
+    j = stats["j"].to_numpy()
+    c = (
+        stats["sxy"].to_numpy() / n
+        - (stats["sx"].to_numpy() / n) * (stats["sy"].to_numpy() / n)
+    ) / 1e12
+    cov[i, j] = c
+    cov[j, i] = c
+    w, v = np.linalg.eigh(cov)
+    w, v = w[::-1][:k], v[:, ::-1][:, :k].T
+    flip = np.sign(v[np.arange(len(v)), np.abs(v).argmax(axis=1)])
+    return w, v * flip[:, None]
+
+
+EMBEDDING_COV_SQL = """
+WITH s AS (
+  SELECT vec_id, dim,
+         CAST(FLOOR(ABS(CAST(e AS DOUBLE)*1000000)+0.5) AS BIGINT)
+           * CAST(SIGN(e) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)
+)
+SELECT CAST(a.dim - 1 AS BIGINT) AS i, CAST(b.dim - 1 AS BIGINT) AS j,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+       CAST(SUM(a.v) AS BIGINT) AS sx,
+       CAST(SUM(b.v) AS BIGINT) AS sy,
+       COUNT(*) AS n
+FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+"""
+
+
 QUERIES = {
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
     "ann_lsh": (ann_lsh, None),
     "ann_ivf": (ann_ivf, None),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),

@@ -1073,3 +1073,29 @@ def test_substring_dup_spans_vs_scalar_reference(ray_session):
     assert (2, 50, 95) in expected and (2, 125, 170) in expected
     assert not any(d == 3 for d, _, _ in expected)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pca_eigen_matches_full_numpy(ray_session):
+    """pca_eigen (driver eigh over the distributed int64 covariance
+    sketch) must match PCA computed directly on the whole embedding
+    matrix — same scaled values, population covariance, numpy reference."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.similarity import pca_eigen
+
+    w, v = pca_eigen(SF_DIR, k=8)
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    m = np.asarray(t["embedding"].combine_chunks().flatten()).reshape(len(t), -1)
+    m = m.astype(np.float64) * 1e6
+    m = (np.floor(np.abs(m) + 0.5) * np.sign(m)) / 1e6  # same rounding
+    cov = np.cov(m, rowvar=False, bias=True)
+    wr, vr = np.linalg.eigh(cov)
+    wr, vr = wr[::-1][:8], vr[:, ::-1][:, :8].T
+    flip = np.sign(vr[np.arange(len(vr)), np.abs(vr).argmax(axis=1)])
+    vr = vr * flip[:, None]
+
+    assert np.allclose(w, wr, rtol=1e-9, atol=1e-15)
+    assert np.allclose(np.abs(v), np.abs(vr), atol=1e-7)  # sign-fixed basis
+    assert w[0] > 0 and np.all(np.diff(w) <= 1e-12)  # descending, nonneg top
