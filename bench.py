@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "repetition_signals",
     "price_quantiles_by_priority",
     "events_unique_users_hll",
+    "substring_dup_spans",
+    "embedding_covariance",
+    "token_heavy_hitters",
 ]
 
 

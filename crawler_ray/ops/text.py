@@ -562,6 +562,116 @@ def winnowing_fingerprints(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+# --- Misra-Gries heavy hitters (mergeable frequent-items sketch) --------
+MG_K = 4096  # counters per summary
+HH_TOP = 50  # reported rows
+
+
+def _mg_prune(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries prune of a counter multiset to <= k entries: subtract
+    the (k+1)-th largest count from all, drop non-positive. Returns
+    (tokens, counts, deducted). Every prune decrements >= k+1 counters by
+    the deduction, which is what bounds total deduction by N/(k+1) no
+    matter how summaries are batched and merged (Agarwal et al. 2013,
+    'Mergeable Summaries')."""
+    if len(tokens) <= k:
+        return tokens, counts, 0
+    thr = np.partition(counts, -(k + 1))[-(k + 1)]
+    kept = counts - thr
+    keep = kept > 0
+    return tokens[keep], kept[keep], int(thr)
+
+
+def _token_heavy_hitters_ds(ds, k: int = MG_K, top: int = HH_TOP) -> pd.DataFrame:
+    """Core of token_heavy_hitters over any (text) Dataset. A summary is
+    rows (token, n) plus one sentinel row (token='', n=total deduction);
+    '' can never collide with a real bigram ([a-z]+ words are nonempty).
+    Merging summaries = groupby-sum (the sentinel errs add), then prune."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df["text"]:
+            ws = _WORD.findall(t.lower())
+            toks.extend(a + " " + b for a, b in zip(ws, ws[1:]))
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        t_, c_, ded = _mg_prune(uniq, counts.astype(np.int64), k)
+        return pd.DataFrame(
+            {"token": np.append(t_, ""), "n": np.append(c_, ded).astype("int64")}
+        )
+
+    def mg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        err = int(df.loc[df["token"] == "", "n"].sum())
+        g = (
+            df[df["token"] != ""]
+            .groupby("token", as_index=False)["n"]
+            .sum()
+        )
+        t_, c_, ded = _mg_prune(
+            g["token"].to_numpy(), g["n"].to_numpy(), k
+        )
+        return pd.DataFrame(
+            {"token": np.append(t_, ""), "n": np.append(c_, err + ded).astype("int64")}
+        )
+
+    # one intermediate merge level (the tree rung: at 100 TB each merge
+    # task folds ~batch_size summary rows; add levels as block count
+    # grows), then a driver fold over <= tasks x (k+1) rows
+    summaries = ds.map_batches(partial, batch_format="pandas").map_batches(
+        mg_merge, batch_format="pandas", batch_size=64 * 1024
+    )
+    final = mg_merge(summaries.to_pandas())
+    err = int(final.loc[final["token"] == "", "n"].sum())
+    out = (
+        final[final["token"] != ""]
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+        .rename(columns={"n": "est_count"})
+    )
+    out["max_undercount"] = np.int64(err)
+    return out
+
+
+def token_heavy_hitters(sf_dir: str):
+    """Approximate corpus-wide frequent items over word BIGRAMS (frequent
+    phrases) via the Misra-Gries mergeable sketch: each batch compresses
+    its exact bigram counts to <= MG_K counters, summaries merge by
+    groupby-sum + prune (one intermediate map_batches rung, then a tiny
+    driver fold), and the top-HH_TOP survivors are reported with the
+    global undercount bound (true count in [est, est + max_undercount],
+    and max_undercount <= N/(MG_K+1) total).
+
+    THE frequent-items shape at 100 TB — the count complement of the
+    HyperLogLog distinct sketch: the driver only ever sees counter
+    summaries, never token streams, and summary size is fixed at MG_K
+    regardless of corpus size. At the test tiers the bigram vocabulary
+    (~10^3) is below MG_K, so no prune fires and the sketch degenerates
+    to EXACT counts — which is what makes a full SQL value oracle honest
+    here (it pins the exact regime + merge plumbing; the pruning regime
+    is pinned by the zipf-skew pytest asserting the mergeable-summaries
+    bound with a deliberately small k)."""
+    return _token_heavy_hitters_ds(_docs(sf_dir, ["text"]))
+
+
+TOKEN_HH_SQL = f"""
+WITH w AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+b AS (
+  SELECT list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS token
+  FROM (SELECT ws, unnest(generate_series(1, length(ws) - 1)) AS i FROM w)
+),
+c AS (SELECT token, COUNT(*) AS est_count FROM b GROUP BY token)
+SELECT token, est_count, CAST(0 AS BIGINT) AS max_undercount
+FROM c ORDER BY est_count DESC, token LIMIT {HH_TOP}
+"""
+
+
 QUERIES = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "bpe_pretokens": (bpe_pretokens, BPE_PRETOKENS_SQL),
@@ -574,4 +684,5 @@ QUERIES = {
     "lang_id": (lang_id, LANG_ID_SQL),
     "fingerprints": (fingerprints, FINGERPRINTS_SQL),
     "winnowing_fingerprints": (winnowing_fingerprints, None),
+    "token_heavy_hitters": (token_heavy_hitters, TOKEN_HH_SQL),
 }

@@ -1099,3 +1099,60 @@ def test_pca_eigen_matches_full_numpy(ray_session):
     assert np.allclose(w, wr, rtol=1e-9, atol=1e-15)
     assert np.allclose(np.abs(v), np.abs(vr), atol=1e-7)  # sign-fixed basis
     assert w[0] > 0 and np.all(np.diff(w) <= 1e-12)  # descending, nonneg top
+
+
+def test_heavy_hitters_mergeable_bound_under_skew(ray_session):
+    """The pruning regime of the Misra-Gries sketch (never reached at the
+    test tiers, where vocab < MG_K): zipf-skewed corpus, deliberately
+    tiny k, multiple blocks so per-batch prunes AND the merge rung fire.
+    Asserts the mergeable-summaries contract: est <= true <= est + err,
+    total err <= N/(k+1), and every bigram with true count > err
+    survives into the merged summary."""
+    import collections
+
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_ray.ops.text import _token_heavy_hitters_ds
+
+    rng = np.random.RandomState(3)
+    # pure-letter vocab: the engine tokenizes with [a-z]+, so digits
+    # would collapse every word to 'tok'
+    vocab = np.array(
+        [
+            "tok" + chr(97 + i // 676) + chr(97 + i // 26 % 26) + chr(97 + i % 26)
+            for i in range(2000)
+        ],
+        dtype=object,
+    )
+    docs = []
+    for _ in range(200):
+        ranks = rng.zipf(1.5, size=60)
+        words = vocab[np.minimum(ranks - 1, len(vocab) - 1)]
+        docs.append(" ".join(words))
+    df = pd.DataFrame({"text": docs})
+
+    true = collections.Counter()
+    n_bigrams = 0
+    for t in docs:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            true[a + " " + b] += 1
+            n_bigrams += 1
+
+    k = 64
+    out = _token_heavy_hitters_ds(
+        rd.from_pandas(df).repartition(8), k=k, top=10_000
+    )
+    assert len(out) <= k
+    err = int(out["max_undercount"].iloc[0])
+    assert 0 < err <= n_bigrams // (k + 1), (err, n_bigrams // (k + 1))
+    for tok, est in zip(out["token"], out["est_count"]):
+        assert est <= true[tok] <= est + err, (tok, est, true[tok], err)
+    survivors = set(out["token"])
+    for tok, cnt in true.items():
+        if cnt > err:
+            assert tok in survivors, (tok, cnt, err)
+    # the true top bigram must rank first
+    top_true = max(true.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert out["token"].iloc[0] == top_true
