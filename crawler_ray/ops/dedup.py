@@ -1266,25 +1266,86 @@ def _span_window_hashes(cp: np.ndarray, powers: np.ndarray) -> np.ndarray:
     return (win * powers).sum(axis=1, dtype=np.uint64)
 
 
-def _substring_dup_spans_ds(docs):
-    """Core of substring_dup_spans over any (doc_id, text) Dataset."""
+def _substring_dup_spans_ds(docs, broadcast_cap: int = 2_000_000):
+    """Core of substring_dup_spans over any (doc_id, text) Dataset.
+
+    Two-pass candidate filtering keeps the exchange near corpus size
+    instead of 4x it: a naive single pass ships (doc_id, pos, h1, h2) =
+    32 bytes for EVERY window (~32x the text bytes at 100 TB). Pass 1
+    ships only per-batch partial (h1, count) rows (<= 16 B/window, less
+    under repetition) through a bucketed sum and keeps the h1 values
+    seen >= 2 times; pass 2 re-derives windows (cheap vectorized numpy —
+    recompute beats shipping) and emits full rows ONLY for candidate
+    hashes, which in a real corpus is the small duplicated fraction. The
+    candidate rows then get the exact (h1, h2) duplicate check in-bucket
+    (kills h1-only collisions) and flow to the span merge. The dup-hash
+    set applies broadcast-style below ``broadcast_cap`` (ray.put once,
+    sorted-array searchsorted membership per batch) and as a bucketed
+    co-partitioned semi-join above it (high-dup corpora; both sides
+    shuffle once on h1, nothing broadcasts)."""
+    import ray
+
+    from .common import bucketed_sum
+
     p1 = _SPAN_B1 ** np.arange(SPAN_K - 1, -1, -1, dtype=np.uint64)
     p2 = _SPAN_B2 ** np.arange(SPAN_K - 1, -1, -1, dtype=np.uint64)
 
-    def windows(df: pd.DataFrame) -> pd.DataFrame:
+    def _doc_windows(did, text):
+        # code points (== SQL substr / Python len character semantics)
+        cp = np.frombuffer(
+            text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        ).astype(np.uint64)
+        if len(cp) < SPAN_K:
+            return None
+        return cp
+
+    def h1_counts(df: pd.DataFrame) -> pd.DataFrame:
+        hs = []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            cp = _doc_windows(did, text)
+            if cp is None:
+                continue
+            hs.append(_span_window_hashes(cp, p1))
+        if not hs:
+            return pd.DataFrame(
+                {"h1": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")}
+            )
+        uniq, cnt = np.unique(np.concatenate(hs), return_counts=True)
+        return pd.DataFrame(
+            {"h1": uniq.view(np.int64), "c": cnt.astype(np.int64)}
+        )
+
+    counts = bucketed_sum(
+        docs.map_batches(h1_counts, batch_format="pandas"), ["h1"], ["c"]
+    )
+    dup_h = counts.map_batches(
+        lambda df: df.loc[df["c"] >= 2, ["h1"]], batch_format="pandas"
+    ).materialize()
+
+    def windows(df: pd.DataFrame, keep_sorted: np.ndarray | None) -> pd.DataFrame:
         ids, poss, h1s, h2s = [], [], [], []
         for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
-            # code points (== SQL substr / Python len character semantics)
-            cp = np.frombuffer(
-                text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
-            ).astype(np.uint64)
-            if len(cp) < SPAN_K:
+            cp = _doc_windows(did, text)
+            if cp is None:
                 continue
-            n = len(cp) - SPAN_K + 1
-            ids.append(np.full(n, did, dtype=np.int64))
-            poss.append(np.arange(n, dtype=np.int64))
-            h1s.append(_span_window_hashes(cp, p1).view(np.int64))
-            h2s.append(_span_window_hashes(cp, p2).view(np.int64))
+            h1 = _span_window_hashes(cp, p1)
+            if keep_sorted is not None:
+                idx = np.searchsorted(keep_sorted, h1)
+                idx[idx == len(keep_sorted)] = 0
+                mask = (
+                    keep_sorted[idx] == h1
+                    if len(keep_sorted)
+                    else np.zeros(len(h1), dtype=bool)
+                )
+                if not mask.any():
+                    continue
+            else:
+                mask = np.ones(len(h1), dtype=bool)
+            pos = np.flatnonzero(mask).astype(np.int64)
+            ids.append(np.full(len(pos), did, dtype=np.int64))
+            poss.append(pos)
+            h1s.append(h1[mask].view(np.int64))
+            h2s.append(_span_window_hashes(cp, p2)[mask].view(np.int64))
         if not ids:
             return pd.DataFrame(
                 {
@@ -1302,6 +1363,45 @@ def _substring_dup_spans_ds(docs):
                 "h2": np.concatenate(h2s),
             }
         )
+
+    if dup_h.count() <= broadcast_cap:
+        keep = np.sort(dup_h.to_pandas()["h1"].to_numpy().view(np.uint64))
+        keep_ref = ray.put(keep)
+
+        def win_filtered(df: pd.DataFrame) -> pd.DataFrame:
+            return windows(df, ray.get(keep_ref))
+
+        cand = docs.map_batches(win_filtered, batch_format="pandas")
+    else:
+        # co-partitioned semi-join: window rows + dup-hash rows bucketed
+        # on h1, per bucket keep windows whose h1 is in the dup set
+        def win_all(df: pd.DataFrame) -> pd.DataFrame:
+            out = windows(df, None)
+            out["is_hash"] = np.int64(0)
+            return out
+
+        def tag_hash(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.full(len(df), -1, dtype=np.int64),
+                    "pos": np.full(len(df), -1, dtype=np.int64),
+                    "h1": df["h1"].astype("int64"),
+                    "h2": np.full(len(df), 0, dtype=np.int64),
+                    "is_hash": np.ones(len(df), dtype=np.int64),
+                }
+            )
+
+        def semi(g: pd.DataFrame) -> pd.DataFrame:
+            dup_set = g.loc[g["is_hash"] == 1, "h1"].to_numpy()
+            w = g[g["is_hash"] == 0]
+            return w.loc[
+                w["h1"].isin(dup_set), ["doc_id", "pos", "h1", "h2"]
+            ]
+
+        union = docs.map_batches(win_all, batch_format="pandas").union(
+            dup_h.map_batches(tag_hash, batch_format="pandas")
+        )
+        cand = bucketed_group_apply(union, ["h1"], semi)
 
     def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
         return g.loc[g.duplicated(["h1", "h2"], keep=False), ["doc_id", "pos"]]
@@ -1332,8 +1432,7 @@ def _substring_dup_spans_ds(docs):
             }
         )
 
-    win = docs.map_batches(windows, batch_format="pandas")
-    dup = bucketed_group_apply(win, ["h1", "h2"], dup_positions)
+    dup = bucketed_group_apply(cand, ["h1", "h2"], dup_positions)
     return bucketed_group_apply(dup, ["doc_id"], merge_spans)
 
 

@@ -1156,3 +1156,21 @@ def test_heavy_hitters_mergeable_bound_under_skew(ray_session):
     # the true top bigram must rank first
     top_true = max(true.items(), key=lambda kv: (kv[1], kv[0]))[0]
     assert out["token"].iloc[0] == top_true
+
+
+def test_substring_dup_spans_semi_join_path(ray_session):
+    """broadcast_cap=0 forces the bucketed co-partitioned semi-join path
+    (the high-dup-corpus shape); output must equal the broadcast path."""
+    import ray.data as rd
+
+    from crawler_ray.ops.dedup import _substring_dup_spans_ds
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = _normalize(_substring_dup_spans_ds(docs, broadcast_cap=0).to_pandas())
+    b = _normalize(
+        _substring_dup_spans_ds(docs, broadcast_cap=2_000_000).to_pandas()
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
