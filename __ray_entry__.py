@@ -143,11 +143,13 @@ def entry() -> Any:
 # position 51 — silently dropped). Entries listed here are placed LAST so
 # that anything past the cap is a low-signal rows-only query whose ground
 # truth already lives in a dedicated pytest, never an oracled query or a
-# crawl-parity query. 54 exposed as of r5 -> these four fall past the cap:
-# winnowing (scalar-reference pytest), phash pairs (brute-force-equality
-# pytest; its composition image_keep_list stays recorded), thumbnails and
-# image stats (spec-ground-truth pytests).
+# crawl-parity query. 55 exposed as of r5 -> these five fall past the cap:
+# ann_lsh (recall + probed-fraction pytest; ann_ivf stays recorded as the
+# ANN scale path), winnowing (scalar-reference pytest), phash pairs
+# (brute-force-equality pytest; its composition image_keep_list stays
+# recorded), thumbnails and image stats (spec-ground-truth pytests).
 _SACRIFICIAL_TAIL = [
+    "ann_lsh",
     "winnowing_fingerprints",
     "phash_near_dups",
     "image_thumbnails",

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "substring_dup_spans",
     "embedding_covariance",
     "token_heavy_hitters",
+    "decontaminate",
 ]
 
 

@@ -672,6 +672,147 @@ FROM c ORDER BY est_count DESC, token LIMIT {HH_TOP}
 """
 
 
+# --- Test-set decontamination (word-n-gram overlap vs a held-out bench) --
+# The classic LLM-training-data step (Brown et al. 2020, appendix C): flag
+# training documents that share any n-word-gram with an evaluation set so
+# they can be dropped before training. The "benchmark" here is the held-out
+# slice doc_id % DECON_BENCH_MOD == 0 of the same documents table
+# (deterministic, no external data); K=8 words per gram (GPT-3 used 13 —
+# 8 fits this corpus's ~55-word synthetic docs and still means a full
+# shared clause, not a stock phrase).
+DECON_K = 8
+DECON_BENCH_MOD = 7
+_DECON_B = np.uint64(1099511628211)  # FNV prime, polynomial base
+_DECON_POW = _DECON_B ** np.arange(DECON_K - 1, -1, -1, dtype=np.uint64)
+
+
+def _word_gram_hashes(ws: list[str], k: int) -> np.ndarray:
+    """uint64 polynomial hash of every k-word window (vectorized: one
+    process-stable hash per word, then a sliding-window dot product in
+    wrapping uint64 arithmetic). Hash equality is only a FILTER — every
+    hit is confirmed by string equality, so collisions cannot change the
+    result, only cost a (vanishingly rare) extra comparison."""
+    wh = pd.util.hash_array(np.asarray(ws, dtype=object)).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(wh, k)
+    return (win * _DECON_POW).sum(axis=1, dtype=np.uint64)
+
+
+def _decontaminate_ds(docs):
+    """Core of ``decontaminate`` over any (doc_id, text) Dataset.
+
+    Per-document contamination report: for every NON-bench document
+    that shares at least one DECON_K-word-gram with the bench slice,
+    emit (doc_id, hits = matching gram positions, distinct_grams =
+    distinct matching gram strings).
+
+    Scale shape: the bench side is definitionally tiny next to the
+    corpus (benchmarks are MBs; the corpus is TBs), so it is collected
+    once on the driver, deduped, and broadcast via ``ray.put`` as ONE
+    sorted uint64 hash array plus a hash->grams dict for exact
+    confirmation — read by every scan task, never re-shipped per batch.
+    The corpus-side scan is a single zero-shuffle ``map_batches`` pass:
+    vectorized window hashing, ``searchsorted`` membership, and a
+    Python-level string confirm ONLY on hit positions (rare by
+    construction). Nothing crosses the wire but the contaminated-doc
+    report rows. If a bench set ever outgrew broadcast, the bucketed
+    semi-join shape in ``ops/dedup._substring_dup_spans_ds`` is the
+    drop-in alternative."""
+    import ray
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        hs_all: list[np.ndarray] = []
+        gs_all: list[str] = []
+        for did, t in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            if did % DECON_BENCH_MOD != 0:
+                continue
+            ws = _WORD.findall(t.lower())
+            if len(ws) < DECON_K:
+                continue
+            hs = _word_gram_hashes(ws, DECON_K)
+            uh, idx = np.unique(hs, return_index=True)
+            hs_all.append(uh)
+            gs_all.extend(
+                " ".join(ws[i : i + DECON_K]) for i in idx
+            )
+        if not hs_all:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"),
+                 "g": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {"h": np.concatenate(hs_all).view(np.int64), "g": gs_all}
+        )
+
+    bench = docs.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    by_hash: dict[int, set] = {}
+    for h, g in zip(bench["h"].to_numpy().view(np.uint64), bench["g"]):
+        by_hash.setdefault(int(h), set()).add(g)
+    sorted_h = np.sort(bench["h"].to_numpy().view(np.uint64))
+    ref = ray.put((sorted_h, by_hash))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        sh, gm = ray.get(ref)
+        ids: list[int] = []
+        hits_l: list[int] = []
+        dist_l: list[int] = []
+        for did, t in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            if did % DECON_BENCH_MOD == 0:
+                continue
+            ws = _WORD.findall(t.lower())
+            if len(ws) < DECON_K or not len(sh):
+                continue
+            hs = _word_gram_hashes(ws, DECON_K)
+            idx = np.searchsorted(sh, hs)
+            idx[idx == len(sh)] = 0
+            hit_pos = np.flatnonzero(sh[idx] == hs)
+            if not len(hit_pos):
+                continue
+            hits = 0
+            seen: set = set()
+            for i in hit_pos:
+                g = " ".join(ws[i : i + DECON_K])
+                if g in gm[int(hs[i])]:
+                    hits += 1
+                    seen.add(g)
+            if hits:
+                ids.append(int(did))
+                hits_l.append(hits)
+                dist_l.append(len(seen))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "hits": pd.Series(hits_l, dtype="int64"),
+                "distinct_grams": pd.Series(dist_l, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+def decontaminate(sf_dir: str):
+    """Test-set decontamination over the documents table (see
+    ``_decontaminate_ds`` for the full shape notes)."""
+    return _decontaminate_ds(_docs(sf_dir, ["doc_id", "text"]))
+
+
+DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(ws[i:i+{DECON_K - 1}], ' ') AS g
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, length(ws) - {DECON_K - 1})) AS i
+        FROM w)
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT d.doc_id, COUNT(*) AS hits, COUNT(DISTINCT d.g) AS distinct_grams
+FROM g d JOIN bench b USING (g)
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "bpe_pretokens": (bpe_pretokens, BPE_PRETOKENS_SQL),
@@ -685,4 +826,5 @@ QUERIES = {
     "fingerprints": (fingerprints, FINGERPRINTS_SQL),
     "winnowing_fingerprints": (winnowing_fingerprints, None),
     "token_heavy_hitters": (token_heavy_hitters, TOKEN_HH_SQL),
+    "decontaminate": (decontaminate, DECONTAMINATE_SQL),
 }

@@ -1174,3 +1174,44 @@ def test_substring_dup_spans_semi_join_path(ray_session):
     )
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_decontaminate_planted_ground_truth(ray_session):
+    """Hand-built corpus with known gram overlap vs the bench slice
+    (doc_id % DECON_BENCH_MOD == 0). Pins: hit counting per position,
+    distinct-gram counting, repeated-gram handling, bench-doc exclusion,
+    and the <K-words no-gram edge."""
+    import ray.data as rd
+
+    from crawler_ray.ops.text import DECON_BENCH_MOD, _decontaminate_ds
+
+    assert DECON_BENCH_MOD == 7  # doc ids below assume the %7 slice
+    w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    sentence = " ".join(w)  # 10 words -> 3 overlapping 8-grams
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 7],
+            "text": [
+                sentence,                      # bench doc (0 % 7 == 0)
+                sentence,                      # full copy -> 3 hits, 3 distinct
+                "zulu " + " ".join(w[:8]),     # one 8-gram copied -> 1 hit
+                " ".join(w[:7]) + " xray",     # only 7 shared words -> no hit
+                " ".join(w[:8] + w[:8]),       # same gram twice -> 2 hits, 1 distinct
+                sentence,                      # bench doc (7 % 7 == 0): excluded
+            ],
+        }
+    )
+    out = (
+        _decontaminate_ds(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expected = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 4], dtype="int64"),
+            "hits": pd.Series([3, 1, 2], dtype="int64"),
+            "distinct_grams": pd.Series([3, 1, 1], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(out, expected)
