@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "token_heavy_hitters",
     "decontaminate",
+    "lm_logprob",
 ]
 
 

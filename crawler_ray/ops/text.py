@@ -795,6 +795,163 @@ def decontaminate(sf_dir: str):
     return _decontaminate_ds(_docs(sf_dir, ["doc_id", "text"]))
 
 
+# --- Bigram-LM log-probability scoring (CCNet-style quality signal) ------
+# Wenzek et al. 2020 (CCNet) rank web documents by the perplexity of a
+# KenLM n-gram model; low-probability documents are gibberish/boilerplate.
+# Here the LM is a bigram model with add-one smoothing trained on the
+# corpus itself: lp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1,.) + V)) where
+# c(w1,.) counts w1 as a bigram prefix and V is the distinct-word vocab.
+# Scores are emitted as integer micro-nats (ROUND(1e6 * ln ...)) summed
+# per document, so the DuckDB oracle matches bit-exactly (libm ln on
+# identical doubles — the tfidf_top_terms precedent).
+
+
+def _lm_logprob_ds(docs):
+    """Core of ``lm_logprob`` over any (doc_id, text) Dataset.
+
+    Per-document bigram-LM log-probability: (doc_id, n_bigrams,
+    logprob_e6 = sum of per-bigram micro-nat log-probs).
+
+    Scale shape: TRAINING is one combiner-before-shuffle pass (per-batch
+    partial bigram counts, bucketed exact sum) whose output is
+    VOCAB-bounded, not corpus-bounded — the count table is the model.
+    SCORING broadcasts the model once via ``ray.put`` (exactly how CCNet
+    ships its fixed pretrained KenLM to every worker) and runs one
+    zero-shuffle ``map_batches`` pass: bigram log-probs are computed once
+    per DISTINCT (c2, c1) pair (vocab-bounded dict, same trick as the
+    tfidf idf table), then mapped over doc bigrams with hash lookups in
+    C. At open-web vocabularies the table is pruned by count threshold
+    before broadcast, like any production LM — the shape is unchanged.
+    Docs with < 2 words have no bigrams and are absent, matching the
+    SQL join semantics."""
+    import math
+
+    import ray
+
+    from .common import bucketed_sum
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b1: list[str] = []
+        b2: list[str] = []
+        for t in df["text"]:
+            ws = _WORD.findall(t.lower())
+            b1.extend(ws[:-1])
+            b2.extend(ws[1:])
+        if not b1:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype="object"),
+                 "w2": pd.Series([], dtype="object"),
+                 "c2": pd.Series([], dtype="int64")}
+            )
+        g = (
+            pd.DataFrame({"w1": b1, "w2": b2})
+            .groupby(["w1", "w2"], as_index=False)
+            .size()
+        )
+        g.columns = ["w1", "w2", "c2"]
+        return g.astype({"c2": "int64"})
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ws: set = set()
+        for t in df["text"]:
+            ws.update(_WORD.findall(t.lower()))
+        return pd.DataFrame({"token": sorted(ws)})
+
+    # model: exact corpus bigram counts (vocab-bounded result)
+    lm = bucketed_sum(
+        docs.map_batches(bigram_partial, batch_format="pandas"),
+        ["w1", "w2"],
+        ["c2"],
+    ).to_pandas()
+    # V: distinct words (per-batch dedup, tiny global dedup)
+    vocab = (
+        docs.map_batches(vocab_partial, batch_format="pandas")
+        .to_pandas()["token"]
+        .nunique()
+    )
+    c1 = lm.groupby("w1", as_index=False)["c2"].sum().rename(columns={"c2": "c1"})
+    # pre-resolve the micro-nat log-prob of every DISTINCT (c2, c1) pair
+    # with math.log (libm — bit-identical to DuckDB's ln; np.log's SIMD
+    # path is NOT, which is why this is a table and not a vector op)
+    pairs = (
+        lm.merge(c1, on="w1")[["c2", "c1"]].drop_duplicates().reset_index(drop=True)
+    )
+    pairs["lp"] = [
+        int(math.floor(1e6 * math.log((a + 1) / (b + vocab)) + 0.5))
+        for a, b in zip(pairs["c2"].astype(int), pairs["c1"].astype(int))
+    ]
+    pairs = pairs.astype({"c2": "int64", "c1": "int64", "lp": "int64"})
+    ref = ray.put((lm, c1, pairs))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lm_t, c1_t, lp_t = ray.get(ref)
+        ids: list[int] = []
+        b1: list[str] = []
+        b2: list[str] = []
+        for did, t in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            ws = _WORD.findall(t.lower())
+            ids.extend([int(did)] * max(0, len(ws) - 1))
+            b1.extend(ws[:-1])
+            b2.extend(ws[1:])
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_bigrams": pd.Series([], dtype="int64"),
+                    "logprob_e6": pd.Series([], dtype="int64"),
+                }
+            )
+        x = pd.DataFrame({"doc_id": ids, "w1": b1, "w2": b2})
+        # three C merges: bigram->c2, prefix->c1, (c2,c1)->lp; inner joins
+        # are total (the model was trained on this corpus)
+        x = (
+            x.merge(lm_t, on=["w1", "w2"])
+            .merge(c1_t, on="w1")
+            .merge(lp_t, on=["c2", "c1"])
+        )
+        g = x.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("lp", "size"), logprob_e6=("lp", "sum")
+        )
+        return g.astype(
+            {"doc_id": "int64", "n_bigrams": "int64", "logprob_e6": "int64"}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def lm_logprob(sf_dir: str):
+    """Bigram-LM log-probability scoring over the documents table (see
+    ``_lm_logprob_ds`` for the full shape notes)."""
+    return _lm_logprob_ds(_docs(sf_dir, ["doc_id", "text"]))
+
+
+LM_LOGPROB_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, length(ws) - 1)) AS i
+        FROM w)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT token) AS v
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        FROM documents)
+),
+lp AS (
+  SELECT b.doc_id,
+         CAST(ROUND(1000000 * ln(
+           CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))) AS BIGINT) AS lp_e6
+  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 DECONTAMINATE_SQL = f"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
@@ -827,4 +984,5 @@ QUERIES = {
     "winnowing_fingerprints": (winnowing_fingerprints, None),
     "token_heavy_hitters": (token_heavy_hitters, TOKEN_HH_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+    "lm_logprob": (lm_logprob, LM_LOGPROB_SQL),
 }

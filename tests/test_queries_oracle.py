@@ -1215,3 +1215,35 @@ def test_decontaminate_planted_ground_truth(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, expected)
+
+
+def test_lm_logprob_hand_computed(ray_session):
+    """Two-doc corpus with hand-derived bigram-LM scores. Corpus:
+    'a b a b' and 'a c' -> c2 = {(a,b):2, (b,a):1, (a,c):1},
+    prefix c1 = {a:3, b:1}, V = 3. Per-bigram micro-nats:
+    (a,b): ln(3/6), (b,a): ln(2/4) (both -693147), (a,c): ln(2/6)
+    (-1098612). Pins smoothing arithmetic, prefix-vs-unigram counting,
+    the V definition, and half-away rounding."""
+    import math
+
+    import ray.data as rd
+
+    from crawler_ray.ops.text import _lm_logprob_ds
+
+    docs = pd.DataFrame({"doc_id": [10, 20], "text": ["a b a b", "a c"]})
+    out = (
+        _lm_logprob_ds(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    half = int(math.floor(1e6 * math.log(0.5) + 0.5))       # -693147
+    third = int(math.floor(1e6 * math.log(1 / 3) + 0.5))    # -1098612
+    expected = pd.DataFrame(
+        {
+            "doc_id": pd.Series([10, 20], dtype="int64"),
+            "n_bigrams": pd.Series([3, 1], dtype="int64"),
+            "logprob_e6": pd.Series([3 * half, third], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(out, expected)
