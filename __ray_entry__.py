@@ -143,16 +143,18 @@ def entry() -> Any:
 # position 51 — silently dropped). Entries listed here are placed LAST so
 # that anything past the cap is a low-signal rows-only query whose ground
 # truth already lives in a dedicated pytest, never an oracled query or a
-# crawl-parity query. 56 exposed as of r5 -> these six fall past the cap:
-# minhash_lsh_candidates (recall-floor + exactly-once pytests; subsumed by
-# the CTE-oracled minhash_verified_pairs which stays recorded), ann_lsh
-# (recall + probed-fraction pytest; ann_ivf stays recorded as the ANN
-# scale path), winnowing (scalar-reference pytest), phash pairs
-# (brute-force-equality pytest; its composition image_keep_list stays
-# recorded), thumbnails and image stats (spec-ground-truth pytests).
+# crawl-parity query. 57 exposed as of r5 -> these seven fall past the
+# cap: minhash_lsh_candidates (recall-floor + exactly-once pytests;
+# subsumed by the CTE-oracled minhash_verified_pairs which stays
+# recorded), ann_lsh and ann_ivf (recall + probed-fraction + cell-scaling
+# pytests; the oracled ann_topk carries the family's driver signal),
+# winnowing (scalar-reference pytest), phash pairs (brute-force-equality
+# pytest; its composition image_keep_list stays recorded), thumbnails and
+# image stats (spec-ground-truth pytests).
 _SACRIFICIAL_TAIL = [
     "minhash_lsh_candidates",
     "ann_lsh",
+    "ann_ivf",
     "winnowing_fingerprints",
     "phash_near_dups",
     "image_thumbnails",

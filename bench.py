@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "token_heavy_hitters",
     "decontaminate",
     "lm_logprob",
+    "price_quantile_sketch",
 ]
 
 

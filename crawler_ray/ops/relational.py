@@ -952,6 +952,145 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --- Mergeable quantile sketch (MRL/KLL-style deterministic compactors) --
+# Completes the mergeable-sketch trio: HLL (distinct count), Misra-Gries
+# (frequency), and this (rank/quantile). A summary is a ladder of levels;
+# level l holds values of weight 2^l. When a level exceeds its capacity k
+# it is sorted and every other element is promoted to level l+1
+# (deterministic alternating parity — Manku-Rajagopalan-Lindsay 1998;
+# KLL's random coin is replaced so results are reproducible). Each
+# compaction of a weight-w level perturbs any rank query by at most w, so
+# the sketch CARRIES its own certified error bound: err += 2^l per
+# compaction, and every reported quantile's true rank is within +-err of
+# the target. Summaries merge by level-wise concatenation + recompaction
+# (err adds), which is what makes the distributed fold correct under any
+# batching.
+QSKETCH_K = 1 << 20  # exact regime at all test tiers (no compaction);
+#                      production capacity would be ~4096 per level
+
+
+class _QuantileSketch:
+    def __init__(self, k: int = QSKETCH_K):
+        self.k = k
+        self.levels: list[np.ndarray] = []
+        self.err = 0
+        self._parity = 0
+
+    def add(self, values: np.ndarray) -> None:
+        self._append(0, values.astype(np.int64, copy=False))
+        self._compress()
+
+    def _append(self, level: int, values: np.ndarray) -> None:
+        while len(self.levels) <= level:
+            self.levels.append(np.empty(0, dtype=np.int64))
+        self.levels[level] = np.concatenate([self.levels[level], values])
+
+    def _compress(self) -> None:
+        l = 0
+        while l < len(self.levels):
+            if len(self.levels[l]) > self.k:
+                arr = np.sort(self.levels[l])
+                if len(arr) % 2:  # hold one item back to keep pairs whole
+                    keep_odd_one = arr[-1:]
+                    arr = arr[:-1]
+                else:
+                    keep_odd_one = arr[:0]
+                promoted = arr[self._parity :: 2]
+                self._parity ^= 1
+                self.levels[l] = keep_odd_one
+                self._append(l + 1, promoted)
+                self.err += 1 << l
+            l += 1
+
+    def merge_rows(self, level: np.ndarray, value: np.ndarray) -> None:
+        """Fold serialized summary rows (level=-1 carries err) in."""
+        for lv in np.unique(level):
+            vals = value[level == lv]
+            if lv < 0:
+                self.err += int(vals.sum())
+            else:
+                self._append(int(lv), vals)
+        self._compress()
+
+    def to_rows(self) -> pd.DataFrame:
+        lvl = [np.full(len(a), l, dtype=np.int64) for l, a in enumerate(self.levels)]
+        lvl.append(np.array([-1], dtype=np.int64))
+        val = list(self.levels) + [np.array([self.err], dtype=np.int64)]
+        return pd.DataFrame(
+            {"level": np.concatenate(lvl), "value": np.concatenate(val)}
+        )
+
+    def quantiles(self, pcts) -> list[tuple[int, int]]:
+        """(pct, value) at rank ceil(pct/100 * W), 1-indexed — the
+        quantile_disc convention (exact when err == 0)."""
+        import math
+
+        vals = np.concatenate(self.levels) if self.levels else np.empty(0, np.int64)
+        wts = np.concatenate(
+            [np.full(len(a), 1 << l, dtype=np.int64) for l, a in enumerate(self.levels)]
+        ) if self.levels else np.empty(0, np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = int(cum[-1]) if len(cum) else 0
+        out = []
+        for p in pcts:
+            r = max(1, math.ceil(p / 100 * total))
+            out.append((int(p), int(vals[np.searchsorted(cum, r)])))
+        return out
+
+
+def price_quantile_sketch(sf_dir: str, pcts=(10, 50, 90), k: int = QSKETCH_K):
+    """Approximate global quantiles of l_extendedprice (cents) over the
+    lineitem fact table via the mergeable compactor sketch: per-batch
+    partial sketches serialize to (level, value) rows, one map_batches
+    merge rung folds them (at 100 TB add rungs as block count grows),
+    and the driver folds only retained summary rows — never the column.
+    At the test tiers k exceeds the row count so NO compaction fires and
+    the result is EXACTLY quantile_disc (the honest-SQL-oracle pattern
+    established by token_heavy_hitters); the compaction regime and its
+    self-certified rank-error bound (err <= sum of 2^l over compactions,
+    true rank within +-err) are pinned by the small-k pytest."""
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = _QuantileSketch(k)
+        sk.add(_cents(df["l_extendedprice"].reset_index(drop=True)).to_numpy())
+        return sk.to_rows()
+
+    def rung(df: pd.DataFrame) -> pd.DataFrame:
+        sk = _QuantileSketch(k)
+        sk.merge_rows(df["level"].to_numpy(), df["value"].to_numpy())
+        return sk.to_rows()
+
+    rows = ds.map_batches(partial, batch_format="pandas").map_batches(
+        rung, batch_format="pandas", batch_size=256 * 1024
+    )
+    final = _QuantileSketch(k)
+    folded = rows.to_pandas()
+    final.merge_rows(folded["level"].to_numpy(), folded["value"].to_numpy())
+    out = pd.DataFrame(final.quantiles(pcts), columns=["q_pct", "value_cents"])
+    out["max_rank_err"] = np.int64(final.err)
+    return out.astype(
+        {"q_pct": "int64", "value_cents": "int64", "max_rank_err": "int64"}
+    )
+
+
+PRICE_QUANTILE_SKETCH_SQL = """
+SELECT 10 AS q_pct,
+       CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.10) AS BIGINT) AS value_cents,
+       CAST(0 AS BIGINT) AS max_rank_err
+FROM lineitem
+UNION ALL
+SELECT 50, CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.50) AS BIGINT), CAST(0 AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 90, CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.90) AS BIGINT), CAST(0 AS BIGINT)
+FROM lineitem
+"""
+
+
 HLL_P = 12  # 2^12 registers -> ~1.04/sqrt(4096) = 1.6% standard error
 
 
@@ -1121,6 +1260,7 @@ QUERIES = {
     "order_repeats_30d": (order_repeats_30d, ORDER_REPEATS_SQL),
     "median_price_by_priority": (median_price_by_priority, MEDIAN_PRICE_SQL),
     "price_quantiles_by_priority": (price_quantiles_by_priority, PRICE_QUANTILES_SQL),
+    "price_quantile_sketch": (price_quantile_sketch, PRICE_QUANTILE_SKETCH_SQL),
     "events_unique_users_hll": (events_unique_users_hll, None),
     "stratified_sample_customers": (stratified_sample_customers, STRATIFIED_SAMPLE_SQL),
     "latest_order_per_customer": (latest_order_per_customer, LATEST_ORDER_SQL),

@@ -3,6 +3,7 @@ SQL-oracled ones against DuckDB (row count + schema + order-insensitive
 values), mirroring what the graft driver does at sf0.01."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -1247,3 +1248,58 @@ def test_lm_logprob_hand_computed(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, expected)
+
+
+def test_quantile_sketch_compaction_bound():
+    """Small-k compaction regime: the sketch's self-certified rank-error
+    bound (err = sum of 2^l over compactions) must hold for every
+    reported quantile, on adversarial orderings (sorted ascending,
+    descending, and hash-shuffled), including after a summary-row
+    merge round-trip. No Ray needed — pure sketch semantics."""
+    import math
+
+    from crawler_ray.ops.relational import _QuantileSketch
+
+    n, k = 10_000, 64
+    base = np.arange(n, dtype=np.int64) * 3 + 7
+    shuffled = base[np.argsort((base * 2654435761) % (1 << 31))]
+    for data in (base, base[::-1].copy(), shuffled):
+        sk = _QuantileSketch(k)
+        for chunk in np.array_split(data, 13):
+            sk.add(chunk)
+        # merge round-trip: serialize, fold into a fresh sketch
+        rows = sk.to_rows()
+        sk2 = _QuantileSketch(k)
+        sk2.merge_rows(rows["level"].to_numpy(), rows["value"].to_numpy())
+        for s in (sk, sk2):
+            assert s.err > 0  # compaction actually fired at this k
+            assert s.err <= 4 * n * 14 // k  # sanity cap: O(n log / k)
+            srt = np.sort(data)
+            for pct, val in s.quantiles((1, 10, 25, 50, 75, 90, 99)):
+                target = max(1, math.ceil(pct / 100 * n))
+                true_rank = int(np.searchsorted(srt, val, side="right"))
+                assert abs(true_rank - target) <= s.err, (
+                    f"pct {pct}: rank {true_rank} vs {target}, err {s.err}"
+                )
+
+
+def test_quantile_sketch_exact_regime_partition_invariant():
+    """With k >= n no compaction fires: err == 0 and the reported values
+    equal the exact ceil(q*n) order statistics regardless of batching."""
+    import math
+
+    from crawler_ray.ops.relational import _QuantileSketch
+
+    vals = (np.arange(999, dtype=np.int64) * 17) % 4999
+    srt = np.sort(vals)
+    results = []
+    for n_chunks in (1, 7, 31):
+        sk = _QuantileSketch(1 << 12)
+        for chunk in np.array_split(vals, n_chunks):
+            sk.add(chunk)
+        assert sk.err == 0
+        qs = sk.quantiles((10, 50, 90))
+        for pct, v in qs:
+            assert v == srt[max(1, math.ceil(pct / 100 * len(vals))) - 1]
+        results.append(qs)
+    assert results[0] == results[1] == results[2]
