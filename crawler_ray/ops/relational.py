@@ -974,9 +974,11 @@ class _QuantileSketch:
         self.k = k
         self.levels: list[np.ndarray] = []
         self.err = 0
+        self.n = 0  # ingested count; retained weight must always equal it
         self._parity = 0
 
     def add(self, values: np.ndarray) -> None:
+        self.n += len(values)
         self._append(0, values.astype(np.int64, copy=False))
         self._compress()
 
@@ -1003,19 +1005,22 @@ class _QuantileSketch:
             l += 1
 
     def merge_rows(self, level: np.ndarray, value: np.ndarray) -> None:
-        """Fold serialized summary rows (level=-1 carries err) in."""
+        """Fold serialized summary rows in (level=-1 carries err,
+        level=-2 carries the ingested count)."""
         for lv in np.unique(level):
             vals = value[level == lv]
-            if lv < 0:
+            if lv == -1:
                 self.err += int(vals.sum())
+            elif lv == -2:
+                self.n += int(vals.sum())
             else:
                 self._append(int(lv), vals)
         self._compress()
 
     def to_rows(self) -> pd.DataFrame:
         lvl = [np.full(len(a), l, dtype=np.int64) for l, a in enumerate(self.levels)]
-        lvl.append(np.array([-1], dtype=np.int64))
-        val = list(self.levels) + [np.array([self.err], dtype=np.int64)]
+        lvl.append(np.array([-1, -2], dtype=np.int64))
+        val = list(self.levels) + [np.array([self.err, self.n], dtype=np.int64)]
         return pd.DataFrame(
             {"level": np.concatenate(lvl), "value": np.concatenate(val)}
         )
@@ -1033,6 +1038,13 @@ class _QuantileSketch:
         vals, wts = vals[order], wts[order]
         cum = np.cumsum(wts)
         total = int(cum[-1]) if len(cum) else 0
+        # weight conservation: every compaction preserves total weight, so
+        # a mismatch means summary rows were lost or double-folded — fail
+        # loudly rather than return silently-shifted quantiles
+        if total != self.n:
+            raise AssertionError(
+                f"quantile sketch weight {total} != ingested count {self.n}"
+            )
         out = []
         for p in pcts:
             r = max(1, math.ceil(p / 100 * total))

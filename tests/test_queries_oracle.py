@@ -1303,3 +1303,49 @@ def test_quantile_sketch_exact_regime_partition_invariant():
             assert v == srt[max(1, math.ceil(pct / 100 * len(vals))) - 1]
         results.append(qs)
     assert results[0] == results[1] == results[2]
+
+
+def test_quantile_sketch_fuzz_bound_and_weight():
+    """Property fuzz of the compactor sketch: for arbitrary int arrays,
+    capacities, and chunkings — including a serialize/merge round-trip —
+    the certified rank-error bound holds for every decile and retained
+    weight equals the ingested count (quantiles() raises otherwise)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_ray.ops.relational import _QuantileSketch
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=800),
+        st.integers(4, 48),
+        st.integers(1, 9),
+    )
+    def check(xs, k, n_chunks):
+        data = np.array(xs, dtype=np.int64)
+        sk = _QuantileSketch(k)
+        for chunk in np.array_split(data, min(n_chunks, len(data))):
+            if len(chunk):
+                sk.add(chunk)
+        rows = sk.to_rows()
+        sk2 = _QuantileSketch(k)
+        sk2.merge_rows(rows["level"].to_numpy(), rows["value"].to_numpy())
+        srt = np.sort(data)
+        n = len(data)
+        for s in (sk, sk2):
+            for pct, val in s.quantiles(range(10, 100, 10)):
+                target = max(1, math.ceil(pct / 100 * n))
+                lo = int(np.searchsorted(srt, val, side="left")) + 1
+                hi = int(np.searchsorted(srt, val, side="right"))
+                # val occupies ranks [lo, hi]; nearest distance to target
+                dist = 0 if lo <= target <= hi else min(
+                    abs(target - lo), abs(target - hi)
+                )
+                assert dist <= s.err, (
+                    f"pct {pct}: val ranks [{lo},{hi}] vs target {target}, "
+                    f"err {s.err}"
+                )
+
+    check()
