@@ -831,44 +831,53 @@ def _lm_logprob_ds(docs):
     from .common import bucketed_sum
 
     def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE tokenize pass serves both the bigram counts and the vocab:
+        # vocab-presence rows ride along as (token, "", 0) — "" can never
+        # collide with a real [a-z]+ token (the Misra-Gries sentinel
+        # precedent) — so one bucketed shuffle dedups/sums both
         b1: list[str] = []
         b2: list[str] = []
+        vocab_set: set = set()
         for t in df["text"]:
             ws = _WORD.findall(t.lower())
+            vocab_set.update(ws)
             b1.extend(ws[:-1])
             b2.extend(ws[1:])
-        if not b1:
+        v = sorted(vocab_set)
+        if not v:
             return pd.DataFrame(
                 {"w1": pd.Series([], dtype="object"),
                  "w2": pd.Series([], dtype="object"),
                  "c2": pd.Series([], dtype="int64")}
             )
         g = (
-            pd.DataFrame({"w1": b1, "w2": b2})
+            pd.DataFrame(
+                {"w1": pd.Series(b1, dtype="object"),
+                 "w2": pd.Series(b2, dtype="object")}
+            )
             .groupby(["w1", "w2"], as_index=False)
             .size()
         )
         g.columns = ["w1", "w2", "c2"]
-        return g.astype({"c2": "int64"})
+        return pd.concat(
+            [
+                g.astype({"c2": "int64"}),
+                pd.DataFrame(
+                    {"w1": v, "w2": [""] * len(v),
+                     "c2": np.zeros(len(v), dtype=np.int64)}
+                ),
+            ],
+            ignore_index=True,
+        )
 
-    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ws: set = set()
-        for t in df["text"]:
-            ws.update(_WORD.findall(t.lower()))
-        return pd.DataFrame({"token": sorted(ws)})
-
-    # model: exact corpus bigram counts (vocab-bounded result)
-    lm = bucketed_sum(
+    # model: exact corpus bigram counts + vocab rows (vocab-bounded)
+    lm_all = bucketed_sum(
         docs.map_batches(bigram_partial, batch_format="pandas"),
         ["w1", "w2"],
         ["c2"],
     ).to_pandas()
-    # V: distinct words (per-batch dedup, tiny global dedup)
-    vocab = (
-        docs.map_batches(vocab_partial, batch_format="pandas")
-        .to_pandas()["token"]
-        .nunique()
-    )
+    vocab = int((lm_all["w2"] == "").sum())
+    lm = lm_all[lm_all["w2"] != ""].reset_index(drop=True)
     c1 = lm.groupby("w1", as_index=False)["c2"].sum().rename(columns={"c2": "c1"})
     # pre-resolve the micro-nat log-prob of every DISTINCT (c2, c1) pair
     # with math.log (libm — bit-identical to DuckDB's ln; np.log's SIMD
