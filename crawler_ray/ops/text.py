@@ -751,38 +751,64 @@ def _decontaminate_ds(docs):
     ref = ray.put((sorted_h, by_hash))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "hits": pd.Series([], dtype="int64"),
+                "distinct_grams": pd.Series([], dtype="int64"),
+            }
+        )
         sh, gm = ray.get(ref)
-        ids: list[int] = []
-        hits_l: list[int] = []
-        dist_l: list[int] = []
+        if not len(sh):
+            return empty
+        # batch-level vectorization: per-doc hash_array calls dominate on
+        # short docs, so hash the batch's CONCATENATED word stream once,
+        # window-hash once, and mask out windows that cross doc boundaries
+        word_lists: list[list[str]] = []
+        doc_ids: list[int] = []
         for did, t in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
             if did % DECON_BENCH_MOD == 0:
                 continue
             ws = _WORD.findall(t.lower())
-            if len(ws) < DECON_K or not len(sh):
+            if len(ws) < DECON_K:
                 continue
-            hs = _word_gram_hashes(ws, DECON_K)
-            idx = np.searchsorted(sh, hs)
-            idx[idx == len(sh)] = 0
-            hit_pos = np.flatnonzero(sh[idx] == hs)
-            if not len(hit_pos):
-                continue
-            hits = 0
-            seen: set = set()
-            for i in hit_pos:
-                g = " ".join(ws[i : i + DECON_K])
-                if g in gm[int(hs[i])]:
-                    hits += 1
-                    seen.add(g)
-            if hits:
-                ids.append(int(did))
-                hits_l.append(hits)
-                dist_l.append(len(seen))
+            word_lists.append(ws)
+            doc_ids.append(int(did))
+        if not word_lists:
+            return empty
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        flat: list[str] = []
+        for w in word_lists:
+            flat.extend(w)
+        wh = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(wh, DECON_K)
+        allh = (win * _DECON_POW).sum(axis=1, dtype=np.uint64)
+        pos = np.arange(len(allh))
+        doc_of = np.searchsorted(offs, pos, side="right") - 1
+        valid = pos <= offs[doc_of] + lens[doc_of] - DECON_K
+        idx = np.searchsorted(sh, allh)
+        idx[idx == len(sh)] = 0
+        hit_pos = np.flatnonzero((sh[idx] == allh) & valid)
+        acc: dict[int, list] = {}
+        for p in hit_pos:
+            d = int(doc_of[p])
+            i = int(p - offs[d])
+            g = " ".join(word_lists[d][i : i + DECON_K])
+            if g in gm[int(allh[p])]:
+                a = acc.setdefault(d, [0, set()])
+                a[0] += 1
+                a[1].add(g)
+        if not acc:
+            return empty
+        rows = sorted(acc.items())
         return pd.DataFrame(
             {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "hits": pd.Series(hits_l, dtype="int64"),
-                "distinct_grams": pd.Series(dist_l, dtype="int64"),
+                "doc_id": pd.Series([doc_ids[d] for d, _ in rows], dtype="int64"),
+                "hits": pd.Series([a[0] for _, a in rows], dtype="int64"),
+                "distinct_grams": pd.Series(
+                    [len(a[1]) for _, a in rows], dtype="int64"
+                ),
             }
         )
 
