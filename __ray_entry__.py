@@ -143,15 +143,17 @@ def entry() -> Any:
 # position 51 — silently dropped). Entries listed here are placed LAST so
 # that anything past the cap is a low-signal rows-only query whose ground
 # truth already lives in a dedicated pytest, never an oracled query or a
-# crawl-parity query. 57 exposed as of r5 -> these seven fall past the
-# cap: minhash_lsh_candidates (recall-floor + exactly-once pytests;
-# subsumed by the CTE-oracled minhash_verified_pairs which stays
-# recorded), ann_lsh and ann_ivf (recall + probed-fraction + cell-scaling
-# pytests; the oracled ann_topk carries the family's driver signal),
-# winnowing (scalar-reference pytest), phash pairs (brute-force-equality
-# pytest; its composition image_keep_list stays recorded), thumbnails and
-# image stats (spec-ground-truth pytests).
+# crawl-parity query. 58 exposed as of r5 -> these eight fall past the
+# cap: pack_sequences (FFD-invariant pytests), minhash_lsh_candidates
+# (recall-floor + exactly-once pytests; subsumed by the CTE-oracled
+# minhash_verified_pairs which stays recorded), ann_lsh and ann_ivf
+# (recall + probed-fraction + cell-scaling pytests; the oracled ann_topk
+# carries the family's driver signal), winnowing (scalar-reference
+# pytest), phash pairs (brute-force-equality pytest; its composition
+# image_keep_list stays recorded), thumbnails and image stats
+# (spec-ground-truth pytests).
 _SACRIFICIAL_TAIL = [
+    "pack_sequences",
     "minhash_lsh_candidates",
     "ann_lsh",
     "ann_ivf",

@@ -562,6 +562,83 @@ def winnowing_fingerprints(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+# --- Sequence packing (fixed-budget training-sequence binning) -----------
+# The step between a cleaned corpus and an LLM training run: pack
+# documents into fixed-token-capacity sequences so padding waste is
+# bounded (first-fit-decreasing; Raffel et al. 2020 pack T5 batches this
+# way). Packing is deliberately PER-BUCKET: documents hash into buckets
+# (one packing task each) and bins never cross buckets — globally optimal
+# packing is NP-hard and unnecessary, and this is the only shape that
+# runs embarrassingly parallel at 100 TB. The partitioning assumption is
+# therefore part of the contract: results depend on the bucket count
+# (task granularity), not on Ray's batching, and are deterministic for a
+# fixed CRAWLER_RAY_N_BUCKETS / cluster size.
+PACK_CAP = 512  # whitespace tokens per training sequence at test scale
+
+
+def _pack_sequences_ds(docs, cap: int = PACK_CAP):
+    """Core of ``pack_sequences`` over any (doc_id, text) Dataset.
+
+    Returns one row per document: (doc_id, n_tokens, bin_id, offset) —
+    bin_id is the doc_id of the FIRST document placed in the bin (unique
+    across buckets with no driver coordination), offset is the doc's
+    token start within its sequence. Documents longer than ``cap`` get a
+    bin of their own (offset 0), untruncated — the trainer decides how
+    to split oversize docs. Within a bucket, docs are packed
+    first-fit-decreasing on (n_tokens desc, doc_id), so output is a
+    pure function of bucket membership."""
+    from .common import bucketed_group_apply
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["text"]
+                .map(lambda t: len(_TOKEN.findall(t)))
+                .astype("int64"),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_ids: list[int] = []
+        offsets: list[int] = []
+        open_rem: list[int] = []  # remaining capacity per open bin
+        open_key: list[int] = []
+        for did, n in zip(g["doc_id"], g["n_tokens"]):
+            placed = False
+            if n <= cap:
+                for j in range(len(open_rem)):
+                    if open_rem[j] >= n:
+                        bin_ids.append(open_key[j])
+                        offsets.append(cap - open_rem[j])
+                        open_rem[j] -= n
+                        placed = True
+                        break
+            if not placed:
+                bin_ids.append(int(did))
+                offsets.append(0)
+                open_key.append(int(did))
+                open_rem.append(max(0, cap - int(n)))
+        out = g.copy()
+        out["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        out["offset"] = pd.Series(offsets, dtype="int64")
+        return out
+
+    return bucketed_group_apply(
+        docs.map_batches(counts, batch_format="pandas"), ["doc_id"], pack
+    )
+
+
+def pack_sequences(sf_dir: str):
+    """Sequence packing over the documents table (see
+    ``_pack_sequences_ds`` for shape notes and the partitioning
+    contract)."""
+    return _pack_sequences_ds(_docs(sf_dir, ["doc_id", "text"]))
+
+
 # --- Misra-Gries heavy hitters (mergeable frequent-items sketch) --------
 MG_K = 4096  # counters per summary
 HH_TOP = 50  # reported rows
@@ -1020,4 +1097,5 @@ QUERIES = {
     "token_heavy_hitters": (token_heavy_hitters, TOKEN_HH_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "lm_logprob": (lm_logprob, LM_LOGPROB_SQL),
+    "pack_sequences": (pack_sequences, None),
 }

@@ -67,7 +67,7 @@ ROWS_ONLY = [
                 "dedup_keep_list_full", "embedding_dup_pairs_full",
                 "events_unique_users_hll", "ann_lsh", "ann_ivf",
                 "winnowing_fingerprints", "image_stats", "image_thumbnails",
-                "phash_near_dups", "image_keep_list")
+                "phash_near_dups", "image_keep_list", "pack_sequences")
 ]
 
 
@@ -1349,3 +1349,42 @@ def test_quantile_sketch_fuzz_bound_and_weight():
                 )
 
     check()
+
+
+def test_pack_sequences_invariants(ray_session, con):
+    """Bucket-agnostic invariants of the FFD sequence packer: every doc
+    appears exactly once; every bin fits the capacity unless it holds a
+    single oversize doc; within each bin, offsets are the running token
+    sum in placement order."""
+    from crawler_ray.ops.text import PACK_CAP
+
+    out = _to_pandas(entrymod.queries()["pack_sequences"](SF_DIR))
+    n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert len(out) == n_docs
+    assert out["doc_id"].is_unique
+    for bin_id, g in out.groupby("bin_id"):
+        g = g.sort_values("offset")
+        total = int(g["n_tokens"].sum())
+        if total > PACK_CAP:
+            assert len(g) == 1, f"oversize bin {bin_id} has {len(g)} docs"
+        assert (
+            g["offset"].to_numpy()
+            == np.concatenate([[0], np.cumsum(g["n_tokens"].to_numpy())[:-1]])
+        ).all(), f"bin {bin_id}: offsets not the running token sum"
+        assert bin_id in set(g["doc_id"]), "bin_id must be a member doc"
+
+
+def test_pack_sequences_ffd_half_full_bound(ray_session, monkeypatch):
+    """With ONE bucket (global FFD) at most one non-oversize bin may be
+    at-most-half full — the classic first-fit waste bound that keeps
+    padding bounded at training time."""
+    from crawler_ray.ops.text import PACK_CAP, pack_sequences
+
+    monkeypatch.setenv("CRAWLER_RAY_N_BUCKETS", "1")
+    out = _to_pandas(pack_sequences(SF_DIR))
+    fills = out.groupby("bin_id")["n_tokens"].sum()
+    non_oversize = fills[fills <= PACK_CAP]
+    assert (non_oversize <= PACK_CAP).all()
+    assert int((non_oversize * 2 <= PACK_CAP).sum()) <= 1, (
+        "FFD left more than one half-empty bin"
+    )
