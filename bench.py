@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "lm_logprob",
     "price_quantile_sketch",
+    "pack_sequences",
 ]
 
 
