@@ -562,8 +562,13 @@ def embedding_covariance(sf_dir: str):
     one d(d+1)/2-row Gram partial (a single int64 matmul over the batch),
     a tiny bucketed sum merges them, and the driver only ever sees d x d
     numbers. No row vector leaves its batch. Int64 exactness holds while
-    n * (1e6*|v|)^2 < 2^63 — ~27M unit-norm rows; the loud assert below
-    marks where a float64-sum variant would take over."""
+    n * (1e6*|v_i|*1e6*|v_j|) < 2^63 per pair — WORST case ~9.2M
+    unit-norm rows (all mass in one dim), typically d-times more. The
+    per-element assert below bounds one factor only, so a float64
+    CHECKSUM column rides the same bucketed sum and the final cast
+    RAISES if the int64 sum wrapped (a wrap shifts the value by ~1.8e19,
+    far beyond float64 accumulation error) — beyond that scale, switch
+    to a float64-sum variant."""
     from .common import bucketed_sum
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
@@ -586,17 +591,27 @@ def embedding_covariance(sf_dir: str):
                 "sx": s[iu[0]],
                 "sy": s[iu[1]],
                 "n": np.full(len(iu[0]), len(scaled), dtype=np.int64),
+                "chk": g[iu].astype(np.float64),
             }
         )
 
     out = bucketed_sum(
         ds.map_batches(partial, batch_format="pandas"),
         ["i", "j"],
-        ["sxy", "sx", "sy", "n"],
+        ["sxy", "sx", "sy", "n", "chk"],
     )
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
-        return df.astype("int64")
+        drift = np.abs(
+            df["sxy"].to_numpy().astype(np.float64) - df["chk"].to_numpy()
+        )
+        thresh = np.maximum(1e-6 * np.abs(df["chk"].to_numpy()), 1e6)
+        if bool((drift > thresh).any()):
+            raise OverflowError(
+                "embedding_covariance int64 Gram sum wrapped — corpus "
+                "exceeds the exact-int64 regime; use a float64-sum variant"
+            )
+        return df.drop(columns=["chk"]).astype("int64")
 
     return out.map_batches(cast, batch_format="pandas")
 

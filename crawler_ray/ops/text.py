@@ -620,8 +620,12 @@ def _pack_sequences_ds(docs, cap: int = PACK_CAP):
             if not placed:
                 bin_ids.append(int(did))
                 offsets.append(0)
-                open_key.append(int(did))
-                open_rem.append(max(0, cap - int(n)))
+                if n <= cap:
+                    open_key.append(int(did))
+                    open_rem.append(cap - int(n))
+                # oversize bins are CLOSED singletons — leaving them open
+                # would let zero-token docs join (offset == cap, contract
+                # violation; review-found r5)
         out = g.copy()
         out["bin_id"] = pd.Series(bin_ids, dtype="int64")
         out["offset"] = pd.Series(offsets, dtype="int64")
@@ -988,8 +992,15 @@ def _lm_logprob_ds(docs):
     pairs = (
         lm.merge(c1, on="w1")[["c2", "c1"]].drop_duplicates().reset_index(drop=True)
     )
+    def _round_half_away(x: float) -> int:
+        # DuckDB ROUND is half-AWAY-FROM-ZERO; floor(x+0.5) rounds
+        # half-ties toward +inf, which differs on the NEGATIVE domain —
+        # and every log-prob here is negative (review-found r5; the
+        # tfidf floor(x+0.5) precedent only ever rounds idf >= 0)
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
     pairs["lp"] = [
-        int(math.floor(1e6 * math.log((a + 1) / (b + vocab)) + 0.5))
+        _round_half_away(1e6 * math.log((a + 1) / (b + vocab)))
         for a, b in zip(pairs["c2"].astype(int), pairs["c1"].astype(int))
     ]
     pairs = pairs.astype({"c2": "int64", "c1": "int64", "lp": "int64"})

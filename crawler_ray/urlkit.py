@@ -221,9 +221,13 @@ def derelativise(on_url: str, raw: str) -> tuple[str, str]:
         return ("error", f"Couldn't derelativise left side: {on_url}")
     if raw.startswith("/") and not raw.startswith("//"):
         # root-relative ref: RFC 3986 §5.3 target = base scheme+authority +
-        # ref path/query — a plain concat, no urljoin machinery needed
+        # ref path/query — a plain concat, no urljoin machinery needed.
+        # The authority ends at the first '/' OR '?': a query-only base
+        # (http://h?q=v) has no path slash, and stopping only at '/' would
+        # smuggle the ref into the base's query (review-found r5)
         a = base.find("://")
-        end = base.find("/", a + 3)
+        ends = [e for e in (base.find("/", a + 3), base.find("?", a + 3)) if e != -1]
+        end = min(ends) if ends else -1
         c = canonicalise((base if end == -1 else base[:end]) + raw)
         if c is None:
             return ("error", f"Couldn't derelativise right side: {raw}")

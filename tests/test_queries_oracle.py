@@ -1388,3 +1388,29 @@ def test_pack_sequences_ffd_half_full_bound(ray_session, monkeypatch):
     assert int((non_oversize * 2 <= PACK_CAP).sum()) <= 1, (
         "FFD left more than one half-empty bin"
     )
+
+
+def test_pack_sequences_oversize_bin_closed(ray_session):
+    """Review-found r5: an oversize doc's bin must never accept later
+    docs — with a zero-token doc in the same bucket, the oversize bin
+    previously stayed open (rem clamped to 0) and absorbed it."""
+    import ray.data as rd
+
+    from crawler_ray.ops.text import PACK_CAP, _pack_sequences_ds
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["w " * (PACK_CAP + 88), "   ", "a b c"],
+        }
+    )
+    out = (
+        _pack_sequences_ds(rd.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "bin_id"] == 1 and out.loc[1, "offset"] == 0
+    # the oversize bin holds ONLY doc 1
+    assert (out["bin_id"] == 1).sum() == 1
+    # the empty doc packs with doc 3 (or its own bin), never at offset cap
+    assert (out["offset"] < PACK_CAP).all()

@@ -179,6 +179,16 @@ def test_canonical_fast_path_fuzz():
         urlkit._ALREADY_CANONICAL = orig
 
 
+def test_derelativise_root_relative_query_only_base():
+    """Explicit regression (review-found r5): a root-relative ref on a
+    query-only base must replace the query, not be appended into it."""
+    assert derelativise("http://h.test?q=v", "/x") == ("url", "http://h.test/x")
+    assert derelativise("https://x.test:8080?a=1", "/p?b=2") == (
+        "url",
+        "https://x.test:8080/p?b=2",
+    )
+
+
 def test_derelativise_root_relative_fast_path_fuzz():
     """The root-relative concat shortcut (RFC 3986 §5.3 merge for refs
     starting with a single '/') must agree with the general urljoin path —
@@ -196,6 +206,10 @@ def test_derelativise_root_relative_fast_path_fuzz():
             "http://h.test/a/b", "http://h.test", "http://h.test/",
             "https://x.y.test:8080/deep/path?q=1", "http://h.test/a/b/c/",
             "HTTP://UP.test:80/A", "http://h.test/p?q=v",
+            # query-WITHOUT-path bases: the authority end is '?' not '/'
+            # (review-found r5: the fast path smuggled the ref into the
+            # base's query for these)
+            "http://h.test?q=v", "https://x.test:8080?a=1&b=2",
         ]
     )
 
