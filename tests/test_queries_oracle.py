@@ -1414,3 +1414,42 @@ def test_pack_sequences_oversize_bin_closed(ray_session):
     assert (out["bin_id"] == 1).sum() == 1
     # the empty doc packs with doc 3 (or its own bin), never at offset cap
     assert (out["offset"] < PACK_CAP).all()
+
+
+def test_pack_sequences_fuzz_invariants():
+    """Property fuzz of the FFD pack body (no Ray): arbitrary token
+    counts, including zeros and oversizes — exactly-once, capacity on
+    multi-doc bins, running-sum offsets, oversize bins singleton."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_ray.ops.text import PACK_CAP, _pack_sequences_ds
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(0, PACK_CAP * 2), min_size=1, max_size=120
+        )
+    )
+    def check(counts):
+        import ray.data as rd
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(counts), dtype=np.int64),
+                "text": ["w " * c for c in counts],
+            }
+        )
+        out = _pack_sequences_ds(rd.from_pandas(docs)).to_pandas()
+        assert len(out) == len(counts) and out["doc_id"].is_unique
+        assert (out["n_tokens"].to_numpy() == np.array(counts)[out["doc_id"]]).all()
+        for _bin, g in out.groupby("bin_id"):
+            g = g.sort_values("offset")
+            if int(g["n_tokens"].sum()) > PACK_CAP:
+                assert len(g) == 1
+            assert (
+                g["offset"].to_numpy()
+                == np.concatenate([[0], np.cumsum(g["n_tokens"].to_numpy())[:-1]])
+            ).all()
+
+    check()
