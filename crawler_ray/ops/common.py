@@ -48,6 +48,19 @@ def scaled_n_buckets(floor: int = 8, per_cpu: int = 2, cap: int = 4096) -> int:
     return max(floor, min(cap, per_cpu * avail))
 
 
+def sorted_isin(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``values`` in ``sorted_arr`` (ascending,
+    possibly empty) — the broadcast-filter primitive (searchsorted +
+    clamp + equality) with the empty-array edge handled ONCE instead of
+    per call site (review r5: three hand-rolled variants had three
+    different edge treatments)."""
+    if not len(sorted_arr):
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx == len(sorted_arr)] = 0
+    return sorted_arr[idx] == values
+
+
 def _bucket_of(df: pd.DataFrame, key_cols: list[str], n_buckets: int) -> np.ndarray:
     h = np.zeros(len(df), dtype=np.uint64)
     for c in key_cols:

@@ -1285,7 +1285,7 @@ def _substring_dup_spans_ds(docs, broadcast_cap: int = 2_000_000):
     shuffle once on h1, nothing broadcasts)."""
     import ray
 
-    from .common import bucketed_sum
+    from .common import bucketed_sum, sorted_isin
 
     p1 = _SPAN_B1 ** np.arange(SPAN_K - 1, -1, -1, dtype=np.uint64)
     p2 = _SPAN_B2 ** np.arange(SPAN_K - 1, -1, -1, dtype=np.uint64)
@@ -1330,13 +1330,7 @@ def _substring_dup_spans_ds(docs, broadcast_cap: int = 2_000_000):
                 continue
             h1 = _span_window_hashes(cp, p1)
             if keep_sorted is not None:
-                idx = np.searchsorted(keep_sorted, h1)
-                idx[idx == len(keep_sorted)] = 0
-                mask = (
-                    keep_sorted[idx] == h1
-                    if len(keep_sorted)
-                    else np.zeros(len(h1), dtype=bool)
-                )
+                mask = sorted_isin(keep_sorted, h1)
                 if not mask.any():
                     continue
             else:
@@ -1345,7 +1339,14 @@ def _substring_dup_spans_ds(docs, broadcast_cap: int = 2_000_000):
             ids.append(np.full(len(pos), did, dtype=np.int64))
             poss.append(pos)
             h1s.append(h1[mask].view(np.int64))
-            h2s.append(_span_window_hashes(cp, p2)[mask].view(np.int64))
+            # h2 only at surviving positions: in the sparse-dup regime
+            # the two-pass design targets, computing h2 for every window
+            # and masking wastes ~all of it (review r5); the window view
+            # makes the gather O(survivors * K)
+            win2 = np.lib.stride_tricks.sliding_window_view(cp, SPAN_K)
+            h2s.append(
+                (win2[pos] * p2).sum(axis=1, dtype=np.uint64).view(np.int64)
+            )
         if not ids:
             return pd.DataFrame(
                 {

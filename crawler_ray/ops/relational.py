@@ -18,6 +18,8 @@ exact — float sums would differ by accumulation order.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -965,8 +967,14 @@ FROM orders GROUP BY o_orderpriority
 # the target. Summaries merge by level-wise concatenation + recompaction
 # (err adds), which is what makes the distributed fold correct under any
 # batching.
-QSKETCH_K = 1 << 20  # exact regime at all test tiers (no compaction);
-#                      production capacity would be ~4096 per level
+# Capacity default keeps the EXACT regime at all test tiers (no
+# compaction fires, the SQL oracle is honest) — which also means the
+# driver fold sees ~n retained rows at these tiers (4.8 MB at sf0.1),
+# not a compacted summary. That is a TEST-tier configuration, not the
+# production one: set CRAWLER_RAY_QSKETCH_K (~4096) to bound every
+# summary — and the driver fold — at the documented O(k log(n/k)),
+# trading exactness for the carried +-err certificate.
+QSKETCH_K = int(os.environ.get("CRAWLER_RAY_QSKETCH_K", 1 << 20))
 
 
 class _QuantileSketch:
@@ -1038,6 +1046,10 @@ class _QuantileSketch:
         vals, wts = vals[order], wts[order]
         cum = np.cumsum(wts)
         total = int(cum[-1]) if len(cum) else 0
+        if total == 0:
+            # empty input: quantiles are undefined — empty result, not an
+            # IndexError deep in searchsorted (review-found r5)
+            return []
         # weight conservation: every compaction preserves total weight, so
         # a mismatch means summary rows were lost or double-folded — fail
         # loudly rather than return silently-shifted quantiles

@@ -583,6 +583,11 @@ def embedding_covariance(sf_dir: str):
         g = scaled.T @ scaled
         s = scaled.sum(axis=0)
         iu = np.triu_indices(scaled.shape[1])
+        # checksum from an INDEPENDENT float64 matmul: deriving it from
+        # the int64 g would inherit an in-batch wrap and mask it
+        # (review-found r5)
+        sf = scaled.astype(np.float64)
+        gf = sf.T @ sf
         return pd.DataFrame(
             {
                 "i": iu[0].astype(np.int64),
@@ -591,7 +596,7 @@ def embedding_covariance(sf_dir: str):
                 "sx": s[iu[0]],
                 "sy": s[iu[1]],
                 "n": np.full(len(iu[0]), len(scaled), dtype=np.int64),
-                "chk": g[iu].astype(np.float64),
+                "chk": gf[iu],
             }
         )
 

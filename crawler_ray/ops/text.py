@@ -611,7 +611,11 @@ def _pack_sequences_ds(docs, cap: int = PACK_CAP):
             placed = False
             if n <= cap:
                 for j in range(len(open_rem)):
-                    if open_rem[j] >= n:
+                    # strictly positive remaining: a FULL bin is closed —
+                    # rem == 0 would admit zero-token docs at offset ==
+                    # cap (review-found r5, both the oversize and the
+                    # exactly-full variant)
+                    if open_rem[j] >= n and open_rem[j] > 0:
                         bin_ids.append(open_key[j])
                         offsets.append(cap - open_rem[j])
                         open_rem[j] -= n
@@ -620,12 +624,10 @@ def _pack_sequences_ds(docs, cap: int = PACK_CAP):
             if not placed:
                 bin_ids.append(int(did))
                 offsets.append(0)
-                if n <= cap:
+                if n < cap:
                     open_key.append(int(did))
                     open_rem.append(cap - int(n))
-                # oversize bins are CLOSED singletons — leaving them open
-                # would let zero-token docs join (offset == cap, contract
-                # violation; review-found r5)
+                # oversize and exactly-full bins are CLOSED singletons
         out = g.copy()
         out["bin_id"] = pd.Series(bin_ids, dtype="int64")
         out["offset"] = pd.Series(offsets, dtype="int64")
@@ -778,7 +780,7 @@ def _word_gram_hashes(ws: list[str], k: int) -> np.ndarray:
     return (win * _DECON_POW).sum(axis=1, dtype=np.uint64)
 
 
-def _decontaminate_ds(docs):
+def _decontaminate_ds(docs, bench_gram_cap: int = 20_000_000):
     """Core of ``decontaminate`` over any (doc_id, text) Dataset.
 
     Per-document contamination report: for every NON-bench document
@@ -786,19 +788,25 @@ def _decontaminate_ds(docs):
     emit (doc_id, hits = matching gram positions, distinct_grams =
     distinct matching gram strings).
 
-    Scale shape: the bench side is definitionally tiny next to the
-    corpus (benchmarks are MBs; the corpus is TBs), so it is collected
-    once on the driver, deduped, and broadcast via ``ray.put`` as ONE
-    sorted uint64 hash array plus a hash->grams dict for exact
-    confirmation — read by every scan task, never re-shipped per batch.
-    The corpus-side scan is a single zero-shuffle ``map_batches`` pass:
-    vectorized window hashing, ``searchsorted`` membership, and a
-    Python-level string confirm ONLY on hit positions (rare by
-    construction). Nothing crosses the wire but the contaminated-doc
-    report rows. If a bench set ever outgrew broadcast, the bucketed
-    semi-join shape in ``ops/dedup._substring_dup_spans_ds`` is the
-    drop-in alternative."""
+    Scale shape: a REAL decontamination bench is external and tiny next
+    to the corpus (benchmarks are MBs; the corpus is TBs), so the bench
+    side is collected once on the driver, deduped, and broadcast via
+    ``ray.put`` as ONE sorted uint64 hash array plus a hash->grams dict
+    for exact confirmation — read by every scan task, never re-shipped
+    per batch. The doc_id % DECON_BENCH_MOD slice used here is TEST-TIER
+    scaffolding (no external data allowed), and it is corpus-
+    proportional — so the broadcast build is guarded by a LOUD cap
+    (``bench_gram_cap``): beyond it the operator raises rather than
+    silently materializing a corpus-scale object on the driver, and the
+    bucketed semi-join shape in ``ops/dedup._substring_dup_spans_ds`` is
+    the documented drop-in for an oversized bench. The corpus-side scan
+    is a single zero-shuffle ``map_batches`` pass: vectorized window
+    hashing, ``sorted_isin`` membership, and a Python-level string
+    confirm ONLY on hit positions (rare by construction). Nothing
+    crosses the wire but the contaminated-doc report rows."""
     import ray
+
+    from .common import sorted_isin
 
     def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
         hs_all: list[np.ndarray] = []
@@ -824,7 +832,16 @@ def _decontaminate_ds(docs):
             {"h": np.concatenate(hs_all).view(np.int64), "g": gs_all}
         )
 
-    bench = docs.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    bench_ds = docs.map_batches(bench_grams, batch_format="pandas").materialize()
+    n_bench = bench_ds.count()
+    if n_bench > bench_gram_cap:
+        raise ValueError(
+            f"decontaminate bench side has {n_bench} grams > cap "
+            f"{bench_gram_cap}: too large to broadcast — shrink the bench "
+            "or use the bucketed semi-join shape "
+            "(ops/dedup._substring_dup_spans_ds)"
+        )
+    bench = bench_ds.to_pandas()
     by_hash: dict[int, set] = {}
     for h, g in zip(bench["h"].to_numpy().view(np.uint64), bench["g"]):
         by_hash.setdefault(int(h), set()).add(g)
@@ -868,9 +885,7 @@ def _decontaminate_ds(docs):
         pos = np.arange(len(allh))
         doc_of = np.searchsorted(offs, pos, side="right") - 1
         valid = pos <= offs[doc_of] + lens[doc_of] - DECON_K
-        idx = np.searchsorted(sh, allh)
-        idx[idx == len(sh)] = 0
-        hit_pos = np.flatnonzero((sh[idx] == allh) & valid)
+        hit_pos = np.flatnonzero(sorted_isin(sh, allh) & valid)
         acc: dict[int, list] = {}
         for p in hit_pos:
             d = int(doc_of[p])

@@ -1453,3 +1453,36 @@ def test_pack_sequences_fuzz_invariants():
             ).all()
 
     check()
+
+
+def test_pack_sequences_exactly_full_bin_closed(ray_session):
+    """Review-found r5 (second variant): a bin filled to exactly cap
+    must close — a zero-token doc previously joined it at offset==cap."""
+    import ray.data as rd
+
+    from crawler_ray.ops.text import PACK_CAP, _pack_sequences_ds
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["w " * PACK_CAP, "   "]}
+    )
+    out = (
+        _pack_sequences_ds(rd.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert (out["bin_id"] == 1).sum() == 1  # full bin stays a singleton
+    assert out.loc[2, "offset"] == 0  # empty doc opens its own bin
+
+
+def test_decontaminate_bench_cap_raises(ray_session):
+    """The bench-side broadcast build must fail LOUDLY past the cap
+    instead of materializing a corpus-scale object on the driver."""
+    import ray.data as rd
+
+    from crawler_ray.ops.text import _decontaminate_ds
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        _decontaminate_ds(docs, bench_gram_cap=10)
