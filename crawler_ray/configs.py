@@ -53,7 +53,12 @@ def parse_form_instructions(text: str) -> dict[str, FormInstruction]:
             parts = line.split("=")
             if len(parts) == 2:  # exactly one '=' (splitOn semantics)
                 tuples.append((parts[0], parts[1]))
-        required = {k: v for k, v in tuples if k in ("Label", "UrlRegex", "FormActionRegex")}
+        # FIRST occurrence wins (Initialisation.hs getVal = headMay;
+        # review-found r5: the dict comprehension was last-wins)
+        required: dict[str, str] = {}
+        for k, v in tuples:
+            if k in ("Label", "UrlRegex", "FormActionRegex") and k not in required:
+                required[k] = v
         params = [
             (unquote(k), unquote(v))
             for k, v in tuples

@@ -35,6 +35,11 @@ Deviations required for a sane distributed engine (SURVEY.md §4):
   requested URLs and sub-fetch targets are checked against per-host rules.
 - sub-fetch recursion depth capped (``max_hops``) — the reference can
   recurse unboundedly.
+- a meta-refresh whose target derelativises to a warning/error is treated
+  as NO redirect and processing continues to the form/store steps; the
+  reference crashes the worker thread (``error`` at Parse.hs:29-30),
+  wedging that URL in-progress forever. Deliberate: a crash-on-bad-markup
+  is not a behavior worth mirroring in a distributed engine (review r5).
 """
 
 from __future__ import annotations
@@ -226,19 +231,21 @@ def process_url(
             out.reason = fr.error
             return out
         landed = fr.chain[0]
-        # fused single-pass extraction (== get_raw_hrefs/find_meta_refresh/
-        # get_forms over parse_tags; equivalence-tested) — forms skipped
-        # when no form instruction could ever consume them
-        raw_hrefs, raw_meta, forms = scan_page(
-            fr.body, want_forms=bool(policy.form_instructions)
-        )
-
-        # 1. href direction (Crawl.hs:123-129)
+        # 1. href direction (Crawl.hs:123-129) — needs only the raw body,
+        #    so it runs BEFORE the tag scan: on direction hops the scan's
+        #    results were computed and thrown away (review r5)
         direction = find_direction(list(policy.directions), landed, fr.body)
         next_request = None  # URL string (GET) or FormRequest
         if direction is not None:
             next_request = direction
         else:
+            # fused single-pass extraction (== get_raw_hrefs/
+            # find_meta_refresh/get_forms over parse_tags; equivalence-
+            # tested) — forms skipped when no form instruction could ever
+            # consume them; only needed for steps 2-4 below
+            raw_hrefs, raw_meta, forms = scan_page(
+                fr.body, want_forms=bool(policy.form_instructions)
+            )
             # 2. meta refresh, resolved against the original request url
             #    (Crawl.hs:132 passes nextUrl)
             meta_url = None

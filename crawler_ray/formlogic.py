@@ -118,9 +118,16 @@ def find_direction(
         if not re.search(d.url_regex, url):
             continue
         m = re.search(d.href_regex, body)
-        if not m or m.lastindex is None or m.lastindex < 1:
+        # reference: candidate = FIRST declared group of the first match
+        # (Directions.hs:39 ``headMay . concatMap (drop 1)``); a regex
+        # with no groups yields Nothing, and regex-posix returns '' for a
+        # declared-but-non-participating group — group(1) may be None in
+        # Python for the same case (alternation where a later group
+        # matched), which previously crashed with AttributeError
+        # (review-found r5)
+        if not m or m.re.groups < 1:
             continue
-        kind, resolved = derelativise(url, m.group(1))
+        kind, resolved = derelativise(url, m.group(1) or "")
         if kind == "url":
             return resolved
     return None

@@ -16,6 +16,19 @@ Regex tokenizer standing in for the reference's fast-tagsoup ``parseTags``
                       attr (default "") and ``method`` attr (default "GET")
                       from the form tag; each ``<input>`` tag's attribute
                       list kept for name/value discovery.
+
+Documented deviations from the reference tokenizer (review r5) — both
+strictly widen what is extracted and only show on live HTML, never on the
+synthetic (lowercase, comment-free) corpus:
+
+- tag names match case-INSENSITIVELY here; the reference's
+  ``isTagOpenName "a"/"form"/"input"`` run on NON-canonicalized tagsoup
+  tags and are case-sensitive (only ``getMeta`` canonicalizes). Chosen
+  deliberately: uppercase tags are common on the live web and a crawler
+  that drops ``<A HREF>`` is broken in practice.
+- the regex tokenizer has no comment/script/CDATA awareness, so markup
+  inside ``<!-- -->`` or ``<script>`` strings is extracted; tagsoup
+  tokenizes those as comment/text nodes the reference never inspects.
 """
 
 from __future__ import annotations
@@ -184,14 +197,23 @@ def scan_page(
                 meta_done = True  # first refresh meta decides (Parse.hs:22-38)
         elif want_forms and name == "form":
             attrs = _blob_attrs(m.group(3))
-            action, method = "", "GET"
+            # FIRST occurrence of each attribute wins unconditionally
+            # (Forms.hs:31-38 takes the head of the filtered list; the
+            # old ''/'GET' sentinels let a duplicate attribute override an
+            # explicit first value — review-found r5)
+            action: str | None = None
+            method: str | None = None
             for k, v in attrs:
                 kl = k.lower()
-                if kl == "action" and action == "":
+                if kl == "action" and action is None:
                     action = v
-                elif kl == "method" and method == "GET":
+                elif kl == "method" and method is None:
                     method = v
-            f = Form(action=action, method=method, inputs=[])
+            f = Form(
+                action=action if action is not None else "",
+                method=method if method is not None else "GET",
+                inputs=[],
+            )
             forms.append(f)
             active.append(f)
         elif want_forms and name == "input" and active:
@@ -212,13 +234,15 @@ def get_forms(tags: list[Tag]) -> list[Form]:
     while i < n:
         t = tags[i]
         if not t.close and t.name == "form":
-            action = ""
-            method = "GET"
+            action: str | None = None
+            method: str | None = None
             for k, v in t.attrs:
-                if k.lower() == "action" and action == "":
+                if k.lower() == "action" and action is None:
                     action = v
-                elif k.lower() == "method" and method == "GET":
+                elif k.lower() == "method" and method is None:
                     method = v
+            action = action if action is not None else ""
+            method = method if method is not None else "GET"
             inputs: list[list[tuple[str, str]]] = []
             j = i + 1
             while j < n and not (tags[j].close and tags[j].name == "form"):

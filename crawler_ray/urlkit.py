@@ -178,7 +178,11 @@ def canonicalise(url: str, discard_fragments: bool = True) -> str | None:
     netloc = _strip_default_port(scheme, parts.netloc.lower())
     path = _remove_dot_segments(_normalize_escapes(parts.path))
     query = _normalize_escapes(parts.query)
-    return urlunsplit((scheme, netloc, path, query, ""))
+    # honor discard_fragments=False (Urls.hs discard with
+    # discardFragments off preserves the fragment; review-found r5 — the
+    # flag previously dropped fragments regardless)
+    frag = "" if discard_fragments else _normalize_escapes(parts.fragment)
+    return urlunsplit((scheme, netloc, path, query, frag))
 
 
 def derelativise(on_url: str, raw: str) -> tuple[str, str]:
@@ -191,14 +195,22 @@ def derelativise(on_url: str, raw: str) -> tuple[str, str]:
 
     Mirrors ``derelativise`` (Urls.hs:72-98): sanitize = drop fragment +
     encode spaces as %20; ``mailto:`` -> warning; absolute -> canonicalise;
-    relative -> RFC 3986 join with base then normalize.
+    relative -> ``parseRelative`` query-strip (Urls.hs:56-70) then RFC 3986
+    join with base and normalize.
+
+    Documented deviation: the reference never trims and its RFC-strict
+    parser ERRORS on refs containing tab/CR/LF; this engine follows the
+    WHATWG rule (remove tab/CR/LF, as Python's urlsplit does) so branch
+    selection and parsing see the same string — more permissive than the
+    reference on control-character refs, byte-identical on clean ones.
     """
-    raw = raw.strip()
     # urlsplit silently removes tab/CR/LF anywhere in a URL (WHATWG rule),
     # so strip them here too — otherwise branch SELECTION (scheme match,
     # root-relative check) sees a different string than the parser does
     # (fuzz-found r5: '/\t/' chose the root-relative fast path but parses
-    # as a protocol-relative '//')
+    # as a protocol-relative '//'). No .strip(): the reference trims hrefs
+    # at EXTRACTION only (Parse.hs:47 ``trim . snd``), never form actions
+    # or direction captures (review-found r5).
     for c in "\t\r\n":
         if c in raw:
             raw = raw.replace(c, "")
@@ -219,6 +231,20 @@ def derelativise(on_url: str, raw: str) -> tuple[str, str]:
     base = canonicalise(on_url)
     if base is None:
         return ("error", f"Couldn't derelativise left side: {on_url}")
+    # parseRelative's stripQueryParams (Urls.hs:56-70): a NON-absolute
+    # ref's query is stripped before resolution — splitWhen on '?'/'#'
+    # (fragments already dropped above) yields 2 segments -> query
+    # dropped; exactly 3 segments ('a?b?c') -> the first query survives
+    # and the rest rides the fragment, which the final canonicalise
+    # discards; 4+ segments fall through unchanged (review-found r5 —
+    # previously every relative ref kept its query, diverging from the
+    # reference's frontier for query-carrying relative links)
+    nq = raw.count("?")
+    if nq == 1:
+        raw = raw[: raw.index("?")]
+    elif nq == 2:
+        a_, b_, _c = raw.split("?")
+        raw = a_ + "?" + b_
     if raw.startswith("/") and not raw.startswith("//"):
         # root-relative ref: RFC 3986 §5.3 target = base scheme+authority +
         # ref path/query — a plain concat, no urljoin machinery needed.

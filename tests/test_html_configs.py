@@ -192,3 +192,54 @@ def test_scan_page_equals_composition_on_rendered_pages():
         tags = parse_tags(html)
         want = (get_raw_hrefs(tags), find_meta_refresh(tags), get_forms(tags))
         assert scan_page(html) == want, i
+
+
+def test_find_direction_nonparticipating_group():
+    """Review-found r5: alternation where a LATER group matches left
+    group(1) as None and crashed with AttributeError. The reference takes
+    the first declared group even when empty (regex-posix returns '' for
+    non-participating groups), resolving '' to the base URL."""
+    from crawler_ray.configs import HrefDirection
+    from crawler_ray.formlogic import find_direction
+
+    d = HrefDirection(
+        label="L",
+        url_regex=r".*",
+        href_regex=r'href="(/a[^"]*)"|onclick=\'(go[^\']*)\'',
+    )
+    # only the SECOND alternative matches -> group(1) is None -> '' ->
+    # resolves to the base URL (no crash)
+    got = find_direction([d], "http://h.test/p", "x onclick='go2' y")
+    assert got == "http://h.test/p"
+    # a regex with no groups at all never fires (headMay [] = Nothing)
+    d0 = HrefDirection(label="L", url_regex=r".*", href_regex=r"plain")
+    assert find_direction([d0], "http://h.test/p", "plain text") is None
+
+
+def test_form_instruction_duplicate_keys_first_wins():
+    """Initialisation.hs getVal = headMay: the FIRST UrlRegex/Label line
+    in a block wins (review-found r5: dict comprehension was last-wins)."""
+    from crawler_ray.configs import parse_form_instructions
+
+    text = (
+        "Label=login\n"
+        "UrlRegex=first\n"
+        "FormActionRegex=act\n"
+        "UrlRegex=second\n"
+        "user=alice\n"
+    )
+    out = parse_form_instructions(text)
+    assert out["login"].url_regex == "first"
+
+
+def test_form_duplicate_attrs_first_wins():
+    """Forms.hs:31-38 takes the head of the filtered attr list: the first
+    action/method attribute wins even if an explicit later duplicate
+    exists (review-found r5: ''/'GET' sentinels let duplicates override)."""
+    from crawler_ray.html import scan_page
+
+    html = '<form method="GET" action="" method="post" action="/x"></form>'
+    _, _, forms = scan_page(html, want_forms=True)
+    assert len(forms) == 1
+    assert forms[0].method == "GET"
+    assert forms[0].action == ""

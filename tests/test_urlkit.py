@@ -183,9 +183,30 @@ def test_derelativise_root_relative_query_only_base():
     """Explicit regression (review-found r5): a root-relative ref on a
     query-only base must replace the query, not be appended into it."""
     assert derelativise("http://h.test?q=v", "/x") == ("url", "http://h.test/x")
+    # the REF's query is stripped too (parseRelative stripQueryParams —
+    # non-absolute refs lose their query before resolution)
     assert derelativise("https://x.test:8080?a=1", "/p?b=2") == (
         "url",
-        "https://x.test:8080/p?b=2",
+        "https://x.test:8080/p",
+    )
+
+
+def test_derelativise_relative_query_stripped():
+    """Urls.hs:56-70 stripQueryParams: non-absolute refs lose their query
+    (2 segments), keep the FIRST of two queries ('a?b?c' -> a?b via the
+    fragment path), and pass 4+ segments through unchanged; absolute
+    refs keep their query."""
+    base = "http://h.test/dir/page"
+    assert derelativise(base, "other?x=1") == ("url", "http://h.test/dir/other")
+    assert derelativise(base, "/x?q=1") == ("url", "http://h.test/x")
+    assert derelativise(base, "a?b?c") == ("url", "http://h.test/dir/a?b")
+    assert derelativise(base, "a?b?c?d") == (
+        "url",
+        "http://h.test/dir/a?b?c?d",
+    )
+    assert derelativise(base, "http://o.test/p?q=1") == (
+        "url",
+        "http://o.test/p?q=1",
     )
 
 
@@ -223,13 +244,21 @@ def test_derelativise_root_relative_fast_path_fuzz():
         # ground truth: sanitize like derelativise (strip, remove
         # tab/CR/LF like urlsplit does, drop fragment, encode spaces),
         # then general urljoin
-        s = raw.strip()
+        s = raw
         for ch in "\t\r\n":
             s = s.replace(ch, "")
         h = s.find("#")
         if h != -1:
             s = s[:h]
         s = s.replace(" ", "%20")
+        # parseRelative stripQueryParams (Urls.hs:56-70): non-absolute
+        # refs lose their query (1 '?'), keep the first of two, pass 3+
+        nq = s.count("?")
+        if nq == 1:
+            s = s[: s.index("?")]
+        elif nq == 2:
+            a_, b_, _ = s.split("?")
+            s = a_ + "?" + b_
         cbase = canonicalise(base)
         joined = canonicalise(urljoin(cbase, s))
         if joined is None:
