@@ -319,9 +319,10 @@ def crawl(
     if os.path.isdir(cfg.corpus_path) and os.path.exists(corpus_meta_path):
         with open(corpus_meta_path) as f:
             n_corpus_shards = json.load(f)["n_shards"]
+        from ..webgen import shard_of_host
+
         corpus_shard_of_host = [
-            url_hash(f"host{h}.test") % n_corpus_shards
-            for h in range(cfg.spec.n_hosts)
+            shard_of_host(h, n_corpus_shards) for h in range(cfg.spec.n_hosts)
         ]
     else:
         corpus_shard_of_host = None
@@ -355,6 +356,15 @@ def crawl(
     while rnd < cfg.max_rounds and (
         frontier_rows or _pending_injections(cfg.run_dir)
     ):
+        if cfg.limit is not None and summary.stored >= cfg.limit:
+            # quota already satisfied (resume of a quota-completed run):
+            # do NOT run another round — it would fetch the entire
+            # remaining frontier, then trim every doc to room 0, leaving
+            # order/delta artifacts and inflated counters an undisturbed
+            # run never produces (review r5: byte-identical-resume
+            # invariant)
+            summary.quota_reached = True
+            break
         # stop verb (Service.hs:79-80 HaltingStatus): checked at the round
         # boundary — the previous round is complete; commit what is
         # pending (after the loop) and exit with the frontier intact so a
@@ -609,6 +619,16 @@ def crawl(
         }
         _commit_round(p_rdir, p_rnd, p_stats, p_next, p_cookies)
 
+    if not summary.halted:
+        # a stop dropped while the final round was in flight was never
+        # consumed (the loop exited on exhaustion/quota first); left in
+        # place it would silently halt a FUTURE resume at round 0, before
+        # that resume's injections are applied (review r5). The crawl has
+        # already stopped, so the sentinel's intent is satisfied.
+        stale_stop = os.path.join(cfg.run_dir, "inject", "stop")
+        if os.path.exists(stale_stop):
+            os.replace(stale_stop, stale_stop + ".consumed")
+
     summary.rounds = rnd - start_round
     summary.frontier_exhausted = frontier_rows == 0
     state = (
@@ -746,7 +766,28 @@ def read_crawled(run_dir: str):
     """All stored docs of a run as a Ray Dataset (streaming read)."""
     files = sorted(glob.glob(os.path.join(run_dir, "round_*", "docs", "*.parquet")))
     if not files:
-        return rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+        # full docs schema, typed and empty — a url-only fallback diverged
+        # from the non-empty path's schema (review r5)
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("redirect_chain", pa.list_(pa.string())),
+                ("content", pa.binary()),
+                ("worker_id", pa.string()),
+                ("round", pa.int32()),
+                ("host", pa.string()),
+                ("seq", pa.int64()),
+                ("hops", pa.int32()),
+                ("image_id", pa.string()),
+                ("image_bytes", pa.binary()),
+                ("caption", pa.string()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("phash", pa.int64()),
+            ]
+        )
+        return rd.from_arrow(schema.empty_table())
     return rd.read_parquet(files)
 
 
@@ -762,8 +803,17 @@ def read_order(run_dir: str) -> pa.Table:
         t = t.append_column("round", pa.array([rnd] * t.num_rows, pa.int32()))
         rows.append(t)
     if not rows:
+        # typed empty table — the bare-list fallback produced null-typed
+        # columns, breaking schema-sensitive consumers on the empty-run
+        # edge (review r5)
         return pa.table(
-            {"url": [], "host": [], "seq": [], "detail": [], "round": []}
+            {
+                "url": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "seq": pa.array([], pa.int64()),
+                "detail": pa.array([], pa.string()),
+                "round": pa.array([], pa.int32()),
+            }
         )
     out = pa.concat_tables(rows)
     return out.sort_by(

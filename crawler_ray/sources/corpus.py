@@ -131,9 +131,10 @@ class ShardedParquetCorpusStore:
             meta = json.load(f)
         self._spec = WebSpec(meta["n_pages"], meta["n_hosts"], meta["seed"])
         self._n_shards = meta["n_shards"]
+        from ..webgen import shard_of_host
+
         self._shard_of_host = [
-            url_hash(f"host{h}.test") % self._n_shards
-            for h in range(meta["n_hosts"])
+            shard_of_host(h, self._n_shards) for h in range(meta["n_hosts"])
         ]
         self._dir = dir_path
         self._columns = columns
@@ -221,11 +222,10 @@ class MmapShardCorpus:
         with open(os.path.join(dir_path, "meta.json")) as f:
             meta = json.load(f)
         self._spec = WebSpec(meta["n_pages"], meta["n_hosts"], meta["seed"])
+        from ..webgen import shard_of_host
+
         self._shard_of_host = np.array(
-            [
-                url_hash(f"host{h}.test") % meta["n_shards"]
-                for h in range(meta["n_hosts"])
-            ],
+            [shard_of_host(h, meta["n_shards"]) for h in range(meta["n_hosts"])],
             dtype=np.int64,
         )
         self._dir = dir_path

@@ -554,33 +554,39 @@ def fetch_shard(
             ),
         )
 
+    # t_docs = the order/logs/metrics LINEAGE parquet writes above (the
+    # docs payload itself is written by the overlapped write_docs_group
+    # task and reported as docs_phases); t_meta = building the docs +
+    # per-seen-shard meta Arrow returns in _returns. Previously t_meta
+    # was hardcoded 0 and the _returns construction was attributed to no
+    # phase (review r5) — anyone reading fetch_phases optimized the
+    # wrong stage.
     _t_docs = time.time() - _t_task - _t_read - _t_proc
-    # docs go back as an Arrow table (payload attach + verify + write run
-    # in a separate per-shard task that overlaps the combined phase and
-    # the next round's fetch); meta rows partition into per-seen-shard
-    # Arrow returns
-    return _returns(
-        {
-            "shard": shard,
-            "n_proc": len(order_rows),
-            "n_docs": len(docs),
-            "shared_cookies": shared_cookies,
-            "sec": time.time() - _t_task,
-            "t_read": _t_read,
-            "t_proc": _t_proc,
-            "t_docs": _t_docs,
-            "t_meta": 0.0,
-            "t_guard": guard_wait[0],
-            "n_guard": guard_wait[1],
-            "t_cpu": _t_cpu,
-            "t0": _t_task,
-            "t1": time.time(),
-            # which physical node ran this shard (multi-node evidence)
-            "node": ray.get_runtime_context().get_node_id()[:8],
-        },
-        docs,
-        meta_rows,
-    )
+    stats = {
+        "shard": shard,
+        "n_proc": len(order_rows),
+        "n_docs": len(docs),
+        "shared_cookies": shared_cookies,
+        "sec": 0.0,  # patched below, after the return tables are built
+        "t_read": _t_read,
+        "t_proc": _t_proc,
+        "t_docs": _t_docs,
+        "t_meta": 0.0,  # patched below
+        "t_guard": guard_wait[0],
+        "n_guard": guard_wait[1],
+        "t_cpu": _t_cpu,
+        "t0": _t_task,
+        "t1": 0.0,  # patched below
+        # which physical node ran this shard (multi-node evidence)
+        "node": ray.get_runtime_context().get_node_id()[:8],
+    }
+    ret = _returns(stats, docs, meta_rows)
+    # stats rides inside ret by reference: patch the construction phase in
+    now = time.time()
+    stats["t_meta"] = now - _t_task - _t_read - _t_proc - _t_docs
+    stats["sec"] = now - _t_task
+    stats["t1"] = now
+    return ret
 
 
 def write_docs_group(

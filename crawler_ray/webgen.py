@@ -64,6 +64,23 @@ def _h4(a, b, c, d) -> int:
     )
 
 
+def host_name(h: int) -> str:
+    """The synthetic web's hostname template — the single source of truth
+    for the host string that corpus shard routing hashes (review r5:
+    previously re-inlined at four sites; a template change would have
+    silently desynchronized writer and readers)."""
+    return f"host{h}.test"
+
+
+def shard_of_host(h: int, n_shards: int) -> int:
+    """Corpus shard for host index ``h`` — ``url_hash(host) % n_shards``,
+    shared by the corpus writer, both corpus readers, and the driver's
+    docs-group routing."""
+    from .urlkit import url_hash
+
+    return url_hash(host_name(h)) % n_shards
+
+
 @dataclass(frozen=True)
 class WebSpec:
     n_pages: int
@@ -92,7 +109,7 @@ class WebSpec:
 
     def url_of(self, i: int) -> str:
         pfx = "private/" if self.is_private(i) else ""
-        return f"http://host{self.host_of(i)}.test/{pfx}page/{i}"
+        return f"http://{host_name(self.host_of(i))}/{pfx}page/{i}"
 
     def outlink_targets(self, i: int) -> list[int]:
         n_out = 2 + _h3(self.seed, "nout", i) % 5
@@ -111,7 +128,7 @@ class WebSpec:
         target = _h3(self.seed, "rt", i) % self.n_pages
         chain = [self.url_of(i)]
         chain += [
-            f"http://host{self.host_of(i)}.test/hop/{i}/{k}" for k in range(n_hops)
+            f"http://{host_name(self.host_of(i))}/hop/{i}/{k}" for k in range(n_hops)
         ]
         chain.append(self.url_of(target))
         return chain, target
@@ -413,9 +430,7 @@ def ensure_web_sharded(
         return spec, out_dir
     tmp_dir = out_dir + ".tmp"
     os.makedirs(tmp_dir, exist_ok=True)
-    shard_of_host = {
-        h: url_hash(f"host{h}.test") % n_shards for h in range(n_hosts)
-    }
+    shard_route = {h: shard_of_host(h, n_shards) for h in range(n_hosts)}
     writers: dict[int, pq.ParquetWriter] = {}
     pending: dict[int, list[pa.Table]] = {}
     pending_rows: dict[int, int] = {}
@@ -437,7 +452,7 @@ def ensure_web_sharded(
     for rg in range(pf.metadata.num_row_groups):
         t = pf.read_row_group(rg)
         ids = t["image_id"].to_pylist()
-        shards = [shard_of_host[spec.host_of(int(i[3:]))] for i in ids]
+        shards = [shard_route[spec.host_of(int(i[3:]))] for i in ids]
         by_shard: dict[int, list[int]] = {}
         for j, s in enumerate(shards):
             by_shard.setdefault(s, []).append(j)

@@ -232,3 +232,78 @@ def test_actor_death_recovers_byte_identical(ray_session, tmp_path):
     db = read_crawled(str(tmp_path / "b")).to_pandas().sort_values(["round", "host", "seq"])
     assert list(da["url"]) == list(db["url"])
     assert [bytes(x) for x in da["content"]] == [bytes(x) for x in db["content"]]
+
+
+def test_resume_of_quota_completed_run_is_a_noop(ray_session, tmp_path):
+    """Review-found r5: resuming a quota-completed run previously executed
+    one full extra round (fetching the whole frontier, trimming every doc
+    to room 0) before the quota check fired — leaving order artifacts an
+    undisturbed run never produces. Resume must change NOTHING."""
+    from crawler_ray.fetchsim import FetchPolicy
+    from crawler_ray.pipelines.checkpoint import committed_rounds, resume_crawl
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl, read_order
+    from crawler_ray.urlkit import IncludePatterns
+    from crawler_ray.webgen import ensure_web
+
+    spec, corpus = ensure_web(250, 10, seed=7, cache_dir=str(tmp_path / "web"))
+    policy = FetchPolicy(include=IncludePatterns(domain_patterns=frozenset([".test"])))
+    seeds = [spec.url_of(i) for i in range(3)]
+    cfg = CrawlConfig(
+        run_dir=str(tmp_path / "q"), spec=spec, corpus_path=corpus,
+        seeds=seeds, policy=policy, fetch_concurrency=2, limit=10,
+    )
+    s1 = crawl(cfg)
+    assert s1.quota_reached and s1.stored == 10
+    order_before = read_order(str(tmp_path / "q"))
+    rounds_before = committed_rounds(str(tmp_path / "q"))
+
+    s2 = resume_crawl(cfg)
+    assert s2.stored == 10
+    assert s2.rounds == 0  # no extra round ran
+    assert committed_rounds(str(tmp_path / "q")) == rounds_before
+    assert read_order(str(tmp_path / "q")).equals(order_before)
+
+
+def test_stale_stop_consumed_on_natural_exit(ray_session, tmp_path):
+    """Review-found r5: a stop sentinel dropped as the crawl exhausted was
+    left behind and silently halted a FUTURE resume before its injections
+    were applied. The finalizer must consume it."""
+    import os
+
+    from crawler_ray.fetchsim import FetchPolicy
+    from crawler_ray.pipelines.checkpoint import resume_crawl
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.urlkit import IncludePatterns
+    from crawler_ray.webgen import ensure_web
+
+    spec, corpus = ensure_web(250, 10, seed=7, cache_dir=str(tmp_path / "web"))
+    policy = FetchPolicy(include=IncludePatterns(domain_patterns=frozenset([".test"])))
+    cfg = CrawlConfig(
+        run_dir=str(tmp_path / "s"), spec=spec, corpus_path=corpus,
+        seeds=[spec.url_of(0)], policy=policy, fetch_concurrency=2,
+    )
+    run_dir = str(tmp_path / "s")
+    os.makedirs(os.path.join(run_dir, "inject"), exist_ok=True)
+    # drop the stop BEFORE the run: consumed at round 0, halted=True
+    with open(os.path.join(run_dir, "inject", "stop"), "w"):
+        pass
+    s1 = crawl(cfg)
+    assert s1.halted
+    # run to exhaustion, then drop a stop AFTER the crawl has exited: the
+    # finalizer of the NEXT resume (entered via injections) must not be
+    # poisoned by it. Simulate by dropping stop + a seed injection.
+    s2 = resume_crawl(cfg)
+    assert s2.frontier_exhausted and not s2.halted
+    stop_f = os.path.join(run_dir, "inject", "stop")
+    with open(stop_f, "w"):
+        pass
+    s3 = resume_crawl(cfg)  # exits on exhaustion; must consume stale stop
+    assert not os.path.exists(stop_f), "stale stop sentinel left behind"
+    with open(os.path.join(run_dir, "inject", "r5seeds.urls"), "w") as f:
+        f.write(spec.url_of(5) + "\n")
+    s4 = resume_crawl(cfg)
+    assert not s4.halted  # injections applied, not silently halted
+    # the injection was consumed (applied), not left pending behind a halt
+    import glob
+
+    assert not glob.glob(os.path.join(run_dir, "inject", "*.urls"))
