@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -123,6 +124,31 @@ def main(argv: list[str] | None = None) -> int:
         fetch_concurrency=args.concurrency,
         politeness_delay=args.politeness_delay,
     )
+    if not args.resume and os.path.isdir(args.run_dir):
+        # a FRESH run replaces whatever run lived here: crawl() only
+        # clears round dirs as it reaches them, so a shorter second run
+        # would leave the first run's later rounds in place and
+        # read_crawled/--resume would silently mix two runs' documents
+        # (review r5)
+        import glob as _glob
+        import shutil as _shutil
+
+        stale = _glob.glob(os.path.join(args.run_dir, "round_*")) + _glob.glob(
+            os.path.join(args.run_dir, "frontier_*")
+        )
+        for p in stale + [
+            os.path.join(args.run_dir, f)
+            for f in ("STATUS.json", "RUN_MANIFEST.json", "run_config.json",
+                      "inject")
+            if os.path.exists(os.path.join(args.run_dir, f))
+        ]:
+            _shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        if stale:
+            print(
+                f"cleared previous run artifacts in {args.run_dir} "
+                "(use --resume to continue a run)",
+                file=sys.stderr,
+            )
     summary = resume_crawl(cfg) if args.resume else crawl(cfg)
 
     if args.warc_dir:

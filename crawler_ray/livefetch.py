@@ -34,6 +34,7 @@ Semantics matched to fetchsim.simulate_fetch:
 from __future__ import annotations
 
 import base64
+import http.client
 import ssl
 import urllib.error
 import urllib.parse
@@ -142,7 +143,12 @@ class LiveFetcher:
                 status, hdrs, text, set_c = self._one(
                     visit_chain[-1], method, body, jar
                 )
-            except (ValueError, OSError) as e:
+            except (ValueError, OSError, http.client.HTTPException) as e:
+                # HTTPException (IncompleteRead/BadStatusLine/LineTooLong)
+                # is NOT an OSError — urllib only wraps connection-phase
+                # errors in URLError; a truncated body or malformed status
+                # line must fail ONE url, not kill the shard's fetch task
+                # (review r5)
                 return FetchResult(False, [url], "", None, str(e))
             all_set.extend(set_c)
             # moreCookies = responseCookies ++ cookiesSent per hop

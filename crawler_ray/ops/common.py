@@ -165,6 +165,17 @@ def subtract_ids(
       holds either side."""
     import ray
 
+    # CONTRACT: keep_ds is a single-column id Dataset. The broadcast path
+    # would pass extra columns through while the anti-join path projects
+    # to id_col — a size-dependent output schema (review r5); assert the
+    # contract loudly instead.
+    keep_cols = keep_ds.schema().names
+    if keep_cols != [id_col]:
+        raise ValueError(
+            f"subtract_ids expects a single-column [{id_col!r}] keep side, "
+            f"got {keep_cols} — project before subtracting (the two "
+            "execution paths would otherwise disagree on output schema)"
+        )
     # materialize once: count + collection (broadcast path) or the tagged
     # union (anti-join path) otherwise each re-execute the drop-side
     # lineage from scratch (ADVICE r4)

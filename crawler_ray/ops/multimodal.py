@@ -106,14 +106,29 @@ def image_stats(sf_dir: str):
         ImageDecodeStage(), batch_format="pyarrow", batch_size=256
     )
 
+    partial_schema = pa.schema(
+        [
+            ("fmt", pa.string()),
+            ("n", pa.int64()),
+            ("brightness_sum_e2", pa.int64()),
+            ("n_phash_ok", pa.int64()),
+        ]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # the streaming executor does deliver 0-row blocks (the decode
+            # stage guards this too); an empty groupby round-tripped
+            # through from_pandas infers a null-typed fmt column and flips
+            # the block schema (review r5)
+            return partial_schema.empty_table()
         df = batch.select(["fmt", "brightness_e2", "phash_ok"]).to_pandas()
         g = df.groupby("fmt", as_index=False).agg(
             n=("fmt", "size"),
             brightness_sum_e2=("brightness_e2", "sum"),
             n_phash_ok=("phash_ok", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(partial_schema)
 
     out = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
     return (

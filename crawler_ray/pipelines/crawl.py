@@ -275,6 +275,7 @@ def crawl(
 ) -> CrawlSummary:
     """Run the BFS crawl; resumable via pipelines.checkpoint.resume_crawl."""
     os.makedirs(cfg.run_dir, exist_ok=True)
+    _check_run_config(cfg)
     summary = CrawlSummary(
         run_dir=cfg.run_dir, stored=stored_so_far, cookies=dict(cookies0 or {})
     )
@@ -640,6 +641,37 @@ def crawl(
     _write_status(cfg.run_dir, state, rnd - 1, frontier_rows, summary)
     _write_run_manifest(cfg, summary)
     return summary
+
+
+def _check_run_config(cfg) -> None:
+    """Pin the run's IDENTITY-DEFINING config at first crawl() entry and
+    REFUSE a resume under a different one (review r5): restoring seen
+    deltas written with 8 shards into a 16-shard routing silently
+    re-fetches done URLs (duplicate docs, non-byte-identical run), and a
+    different web spec is a different universe entirely. Task-granularity
+    knobs (fetch shards, concurrency, limits) may legitimately change
+    across resumes and are NOT pinned."""
+    fp = {
+        "n_seen_shards": cfg.n_seen_shards,
+        "n_pages": cfg.spec.n_pages,
+        "n_hosts": cfg.spec.n_hosts,
+        "seed": cfg.spec.seed,
+    }
+    path = os.path.join(cfg.run_dir, "run_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != fp:
+            raise ValueError(
+                f"run_dir {cfg.run_dir} was created with {prev}; resuming "
+                f"with {fp} would corrupt the seen set — use a fresh "
+                "run_dir or restore the original settings"
+            )
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.replace(tmp, path)
 
 
 def _write_status(run_dir: str, state: str, rnd: int, frontier_rows: int,

@@ -55,9 +55,18 @@ def write_warc(docs_ds, out_dir: str) -> int:
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"entries": pa.array([], pa.int64())})
-        first = batch["host"][0].as_py() if "host" in batch.column_names else "part"
         rnd = batch["round"][0].as_py() if "round" in batch.column_names else 0
-        name = f"{rnd:05d}-{abs(hash((first, batch.num_rows))) % 10**8:08d}.warc"
+        # deterministic content digest of the block's URL list: builtin
+        # hash((host, num_rows)) was PYTHONHASHSEED-randomized (task
+        # retries rewrote the same block under a NEW name -> duplicate
+        # entries) and collision-prone under Zipf host skew (same-host
+        # same-size blocks silently clobbered each other; review r5)
+        import hashlib
+
+        dig = hashlib.blake2b(
+            "\n".join(batch["url"].to_pylist()).encode(), digest_size=8
+        ).hexdigest()
+        name = f"{rnd:05d}-{dig}.warc"
         tmp = os.path.join(out_dir, name + ".tmp")
         with open(tmp, "wb") as f:
             for chain, content in zip(

@@ -385,7 +385,11 @@ def ensure_web(
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"corpus_v2_{n_pages}_{n_hosts}_{seed}.parquet")  # v2: planted dups
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        # per-process tmp name: a FIXED '.tmp' let two concurrent builders
+        # interleave writes into one file and promote a corrupt parquet
+        # into the cache (review r5); with unique tmps the loser's
+        # os.replace merely re-promotes identical (deterministic) bytes
+        tmp = f"{path}.tmp.{os.getpid()}"
         writer = pq.ParquetWriter(tmp, CORPUS_SCHEMA)
         step = 4096
         for lo in range(0, n_pages, step):
@@ -428,7 +432,9 @@ def ensure_web_sharded(
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         return spec, out_dir
-    tmp_dir = out_dir + ".tmp"
+    # per-process tmp dir (see ensure_web note); the loser of a concurrent
+    # race sees out_dir already promoted and just removes its own tmp
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
     shard_route = {h: shard_of_host(h, n_shards) for h in range(n_hosts)}
     writers: dict[int, pq.ParquetWriter] = {}
@@ -470,5 +476,15 @@ def ensure_web_sharded(
             {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed, "n_shards": n_shards},
             f,
         )
-    os.replace(tmp_dir, out_dir)
+    try:
+        os.replace(tmp_dir, out_dir)
+    except OSError:
+        # concurrent builder won the promote race: its output is
+        # deterministic-identical, keep it and discard ours
+        if os.path.exists(os.path.join(out_dir, "meta.json")):
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            raise
     return spec, out_dir
